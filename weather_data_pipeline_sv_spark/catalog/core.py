@@ -1,0 +1,757 @@
+"""Core relational operators (SURVEY.md §2.1-§2.7) over the testdata.
+
+Each query is the generic form of a reference operator (cited per-query) —
+e.g. the IDW spatial range join (`aggregation.py:73-153` in the reference)
+becomes a numeric range join + inverse-distance-weighted mean over
+customer balances; the KNN stored function (`schema.sql:357-385`) becomes a
+per-group top-k; the LAG temporal-consistency check (`cleaning.py:348-364`)
+becomes a per-user jump detector over `events`.
+
+Physical-plan intent at 100 TB (checked via .explain in tests/bench):
+- dimension joins broadcast (nation/region/25-row center tables)
+- range joins are broadcast-nested-loop against tiny build sides —
+  never a cartesian shuffle of two big relations
+- aggregations are partial+final hash aggs (map-side combine for free)
+- top-k per group is a single window shuffle on the group key; global
+  top-k is TakeOrderedAndProject (no full sort)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_tables
+from ..functions.rounding import rnd
+from . import register
+
+
+def _micros(c):
+    """Exact epoch microseconds (bigint) — parity with DuckDB epoch_us().
+
+    Cast via timestamp so TIMESTAMP_NTZ parquet columns work too (session
+    timezone is pinned to UTC, so the cast is wall-clock preserving).
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _trunc(unit: str, c) -> F.Column:
+    """date_trunc that stays timezone-naive.
+
+    Spark's date_trunc yields plain TimestampType (an instant) even for NTZ
+    input, and instants collect through the OS timezone. Casting back to NTZ
+    under the UTC session keeps results host-timezone-independent.
+    """
+    return F.date_trunc(unit, c).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# A1/A5/A7 — hash aggregation with multiple measures (flagship).
+# Generic form of the gold-grain group-by `aggregation.py:112-153`.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5 + 1e-6) / 100.0                                  AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5 + 1e-6) / 100.0                             AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5 + 1e-6) / 100.0          AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5 + 1e-6) / 100.0 AS sum_charge,
+           floor((avg(l_quantity)) * 10000.0 + 0.5 + 1e-6) / 10000.0                                  AS avg_qty,
+           floor((avg(l_extendedprice)) * 10000.0 + 0.5 + 1e-6) / 10000.0                             AS avg_price,
+           floor((avg(l_discount)) * 10000.0 + 0.5 + 1e-6) / 10000.0                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= (SELECT max(l_shipdate) FROM lineitem) - INTERVAL 90 DAY
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # data-anchored watermark, kept inside the plan (a broadcast 1-row cross
+    # join, like the reference's scalar CTE): no wall-clock, no host-timezone
+    # dependence, no driver round-trip
+    hi = li.agg(F.max("l_shipdate").alias("_hi"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.crossJoin(F.broadcast(hi))
+        .filter(F.col("l_shipdate") <= F.col("_hi") - F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — time-window filter anchored to a data watermark (cleaning.py:143).
+# ---------------------------------------------------------------------------
+@register(
+    "p1_time_window_filter",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+    """,
+)
+def p1_time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hi = ev.agg(F.max("ts").alias("_hi"))
+    return (
+        ev.crossJoin(F.broadcast(hi))
+        .filter(F.col("ts") >= F.col("_hi") - F.expr("INTERVAL 24 HOURS"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — completeness filter: drop rows with >=2 NULLs among 3 critical
+# fields (cleaning.py:144-149). NULLs synthesized via nullif sentinels.
+# ---------------------------------------------------------------------------
+@register(
+    "p2_completeness_filter",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_discount, 0.0) AS crit_discount,
+             nullif(l_tax, 0.0)      AS crit_tax,
+             nullif(l_quantity, 1.0) AS crit_quantity
+      FROM lineitem
+    )
+    SELECT * FROM c
+    WHERE (CASE WHEN crit_discount IS NULL THEN 1 ELSE 0 END
+         + CASE WHEN crit_tax      IS NULL THEN 1 ELSE 0 END
+         + CASE WHEN crit_quantity IS NULL THEN 1 ELSE 0 END) <= 1
+    """,
+)
+def p2_completeness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    c = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("crit_discount"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("crit_tax"),
+        F.nullif(F.col("l_quantity"), F.lit(1.0)).alias("crit_quantity"),
+    )
+    n_null = sum(
+        F.when(F.col(c_).isNull(), 1).otherwise(0)
+        for c_ in ("crit_discount", "crit_tax", "crit_quantity")
+    )
+    return c.filter(n_null <= 1)
+
+
+# ---------------------------------------------------------------------------
+# P5 — derived quality flags + first-match CASE score chain
+# (cleaning.py:85-137, quirk Q2: branch order matters).
+# ---------------------------------------------------------------------------
+@register(
+    "p5_quality_flags",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_discount = 0.0 OR l_tax = 0.0)                       AS has_missing_values,
+           (l_quantity > 45.0 OR l_extendedprice > 90000.0
+              OR l_discount > 0.08)                                AS has_outliers,
+           CAST(CASE
+             WHEN l_discount > 0.0 AND l_tax > 0.0
+                  AND l_quantity <= 45.0 AND l_extendedprice <= 90000.0
+                  AND l_discount <= 0.08                           THEN 1.0
+             WHEN l_discount = 0.0 OR l_tax = 0.0                  THEN 0.6
+             WHEN l_quantity > 45.0 OR l_extendedprice > 90000.0   THEN 0.3
+             ELSE 0.5
+           END AS DOUBLE)                                          AS data_quality_score,
+           CASE WHEN l_quantity > 45.0
+                THEN 'Quantity outlier: ' || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+                ELSE 'ok' END                                      AS quality_notes
+    FROM lineitem
+    """,
+)
+def p5_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d, t, q, p = (F.col(x) for x in ("l_discount", "l_tax", "l_quantity", "l_extendedprice"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((d == 0.0) | (t == 0.0)).alias("has_missing_values"),
+        ((q > 45.0) | (p > 90000.0) | (d > 0.08)).alias("has_outliers"),
+        F.when(
+            (d > 0.0) & (t > 0.0) & (q <= 45.0) & (p <= 90000.0) & (d <= 0.08),
+            F.lit(1.0),
+        )
+        .when((d == 0.0) | (t == 0.0), F.lit(0.6))
+        .when((q > 45.0) | (p > 90000.0), F.lit(0.3))
+        .otherwise(F.lit(0.5))
+        .alias("data_quality_score"),
+        F.when(
+            q > 45.0,
+            F.concat(F.lit("Quantity outlier: "), q.cast("int").cast("string")),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("quality_notes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — 2-D bounding-box filter (stations.py:26-37).
+# ---------------------------------------------------------------------------
+@register(
+    "p8_bbox_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10.0 AND 20.0
+      AND l_extendedprice BETWEEN 10000.0 AND 20000.0
+    """,
+)
+def p8_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(
+        F.col("l_quantity").between(10.0, 20.0)
+        & F.col("l_extendedprice").between(10000.0, 20000.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# J1 — fact ⨝ broadcast dims (aggregation.py:62-72).
+# ---------------------------------------------------------------------------
+@register(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/A2 — range join + IDW weighted mean, the reference's spatial core
+# (aggregation.py:73-153): each point joins every "centroid" within a
+# radius; weight = 1/d² with a NULLIF zero-distance guard (quirk Q11).
+# Numeric 1-D analogue: customers vs per-nation balance centers.
+# ---------------------------------------------------------------------------
+@register(
+    "j2_idw_range_join",
+    oracle="""
+    WITH centers AS (
+      SELECT c_nationkey AS center_key, floor((avg(c_acctbal)) * 1.0 + 0.5 + 1e-6) / 1.0 AS center
+      FROM customer GROUP BY c_nationkey
+    ),
+    matched AS (
+      SELECT ct.center_key, c.c_custkey, c.c_acctbal,
+             abs(c.c_acctbal - ct.center) AS dist,
+             1.0 / nullif(abs(c.c_acctbal - ct.center)
+                          * abs(c.c_acctbal - ct.center), 0.0) AS w
+      FROM customer c CROSS JOIN centers ct
+      WHERE abs(c.c_acctbal - ct.center) <= 1000.0
+    )
+    SELECT center_key AS n_nationkey,
+           count(*) AS n_points,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           floor((avg(dist)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_distance,
+           floor((max(dist)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS max_distance,
+           floor((sum(c_acctbal * w) / nullif(sum(w), 0.0)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS idw_acctbal
+    FROM matched
+    GROUP BY center_key
+    """,
+)
+def j2_idw_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    centers = cust.groupBy(F.col("c_nationkey").alias("center_key")).agg(
+        rnd(F.avg("c_acctbal"), 0).alias("center")
+    )
+    dist = F.abs(F.col("c_acctbal") - F.col("center"))
+    matched = (
+        cust.crossJoin(F.broadcast(centers))  # 25-row build side: BNL join
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 1000.0)
+        .withColumn("w", F.lit(1.0) / F.nullif(F.col("dist") * F.col("dist"), F.lit(0.0)))
+    )
+    return matched.groupBy(F.col("center_key").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        rnd(F.avg("dist"), 4).alias("avg_distance"),
+        rnd(F.max("dist"), 4).alias("max_distance"),
+        rnd(
+            F.sum(F.col("c_acctbal") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0)), 4
+        ).alias("idw_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — self equi-join + interval predicate (schema.sql:419-427):
+# click→purchase funnel within 30 minutes per user.
+# ---------------------------------------------------------------------------
+@register(
+    "j3_interval_self_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) / 60000000.0 AS minutes_between
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+    """,
+)
+def j3_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    gap_us = _micros(F.col("b.ts")) - _micros(F.col("a.ts"))
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter((F.col("b.ts") >= F.col("a.ts")) & (gap_us <= 1_800_000_000))
+        .select(
+            F.col("a.event_id").alias("click_id"),
+            F.col("b.event_id").alias("purchase_id"),
+            F.col("a.user_id").alias("user_id"),
+            (gap_us / F.lit(60_000_000.0)).alias("minutes_between"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/A8 — cross join against a 1-row scalar aggregate (schema.sql:347).
+# ---------------------------------------------------------------------------
+@register(
+    "j4_cross_scalar_join",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderdate) AS max_date FROM orders)
+    SELECT o_orderkey, o_orderdate,
+           (epoch_us(hi.max_date) - epoch_us(o_orderdate)) / 3600000000.0 AS age_hours
+    FROM orders CROSS JOIN hi
+    """,
+)
+def j4_cross_scalar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    hi = o.agg(F.max("o_orderdate").alias("max_date"))
+    return o.crossJoin(F.broadcast(hi)).select(
+        "o_orderkey",
+        "o_orderdate",
+        (
+            (_micros(F.col("max_date")) - _micros(F.col("o_orderdate")))
+            / F.lit(3_600_000_000.0)
+        ).alias("age_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — anti join: new-entity discovery (stations.py:101-118).
+# ---------------------------------------------------------------------------
+@register(
+    "j5_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# J6 — semi join: existence check (observations.py:85-88).
+# ---------------------------------------------------------------------------
+@register(
+    "j6_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return t["customer"].join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# A4 — circular (vector) weighted mean of a direction, with the ±360
+# one-wrap normalization (aggregation.py:132-135, 176-183; quirk Q6).
+# ---------------------------------------------------------------------------
+@register(
+    "a4_circular_mean",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_partkey % 360 AS DOUBLE) AS direction,
+             l_quantity AS w
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             degrees(atan2(sum(sin(radians(direction)) * w),
+                           sum(cos(radians(direction)) * w))) AS ang
+      FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           floor((CASE WHEN ang < 0 THEN ang + 360 WHEN ang >= 360 THEN ang - 360 ELSE ang END) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS direction_avg
+    FROM s
+    """,
+)
+def a4_circular_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    d = li.select(
+        "l_returnflag",
+        (F.col("l_partkey") % 360).cast("double").alias("direction"),
+        F.col("l_quantity").alias("w"),
+    )
+    ang = F.degrees(
+        F.atan2(
+            F.sum(F.sin(F.radians(F.col("direction"))) * F.col("w")),
+            F.sum(F.cos(F.radians(F.col("direction"))) * F.col("w")),
+        )
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), ang.alias("ang")
+    )
+    a = F.col("ang")
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        rnd(
+            F.when(a < 0, a + 360).when(a >= 360, a - 360).otherwise(a), 4
+        ).alias("direction_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — conditional aggregation (transform.py:217-224).
+# ---------------------------------------------------------------------------
+@register(
+    "a9_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT) AS n_high_value,
+           floor((count(*) FILTER (WHERE o_totalprice > 200000.0) * 1.0 / count(*)) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS share_high_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a9_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    high = F.sum(F.when(F.col("o_totalprice") > 200000.0, 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        high.cast("long").alias("n_high_value"),
+        rnd(high * 1.0 / F.count(F.lit(1)), 4).alias("share_high_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — UNION ALL layer-count report (README.md:144-153).
+# ---------------------------------------------------------------------------
+@register(
+    "a10_union_report",
+    oracle="""
+    SELECT 'orders' AS layer, count(*) AS n_rows FROM orders
+    UNION ALL SELECT 'customer' AS layer, count(*) AS n_rows FROM customer
+    UNION ALL SELECT 'lineitem' AS layer, count(*) AS n_rows FROM lineitem
+    """,
+)
+def a10_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer", "lineitem")
+    parts = [
+        t[name].agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("layer"), "n_rows"
+        )
+        for name in ("orders", "customer", "lineitem")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A8 — scalar watermark aggregates (observations.py:150-153).
+# ---------------------------------------------------------------------------
+@register(
+    "a8_watermark_scalar",
+    oracle="""
+    SELECT max(ts) AS high_watermark, min(ts) AS low_watermark,
+           count(*) AS n_rows
+    FROM events
+    """,
+)
+def a8_watermark_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.agg(
+        F.max("ts").alias("high_watermark"),
+        F.min("ts").alias("low_watermark"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — LAG-based temporal-consistency check (cleaning.py:348-364):
+# flag jumps |Δvalue| > 50 between consecutive events ≤ 1h apart.
+# ---------------------------------------------------------------------------
+@register(
+    "w1_lag_jump_check",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             lag(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value, prev_value,
+           value - prev_value AS delta_value,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM w
+    WHERE prev_value IS NOT NULL
+      AND abs(value - prev_value) > 50.0
+      AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000
+    """,
+)
+def w1_lag_jump_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _micros(F.col("ts")) - _micros(F.col("prev_ts"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(
+            F.col("prev_value").isNotNull()
+            & (F.abs(F.col("value") - F.col("prev_value")) > 50.0)
+            & (gap <= 3_600_000_000)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            "prev_value",
+            (F.col("value") - F.col("prev_value")).alias("delta_value"),
+            gap.alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — argmax-per-group / latest row per key (schema.sql:312-328).
+# ---------------------------------------------------------------------------
+@register(
+    "w2_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+    FROM (
+      SELECT o.*, row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders o
+    ) WHERE rn = 1
+    """,
+)
+def w2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — global order+limit with unique tiebreak (weather.py:46-47).
+# Physically TakeOrderedAndProject in Spark — no full sort at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "o1_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — KNN top-k per group by distance (schema.sql:357-385): the 3
+# customers whose balance is nearest each nation's (rounded) mean.
+# ---------------------------------------------------------------------------
+@register(
+    "o3_knn_topk",
+    oracle="""
+    WITH centers AS (
+      SELECT c_nationkey AS center_key, floor((avg(c_acctbal)) * 1.0 + 0.5 + 1e-6) / 1.0 AS center
+      FROM customer GROUP BY c_nationkey
+    ), d AS (
+      SELECT c.c_nationkey AS n_nationkey, c.c_custkey, c.c_acctbal,
+             abs(c.c_acctbal - ct.center) AS dist,
+             CAST(row_number() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY abs(c.c_acctbal - ct.center) ASC, c.c_custkey ASC
+             ) AS INTEGER) AS rank
+      FROM customer c JOIN centers ct ON c.c_nationkey = ct.center_key
+    )
+    SELECT n_nationkey, c_custkey, c_acctbal, dist, rank
+    FROM d WHERE rank <= 3
+    """,
+)
+def o3_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    centers = cust.groupBy(F.col("c_nationkey").alias("center_key")).agg(
+        rnd(F.avg("c_acctbal"), 0).alias("center")
+    )
+    d = cust.join(
+        F.broadcast(centers), F.col("c_nationkey") == F.col("center_key")
+    ).withColumn("dist", F.abs(F.col("c_acctbal") - F.col("center")))
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("dist"), F.asc("c_custkey"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("c_nationkey").alias("n_nationkey"),
+            "c_custkey",
+            "c_acctbal",
+            "dist",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — record normalizer: rename / JSON-extract / uppercase
+# (brightsky_client.py:77-92, observations.py:289-310).
+# ---------------------------------------------------------------------------
+@register(
+    "s3_normalize_rename",
+    oracle="""
+    SELECT event_id,
+           ts AS event_ts,
+           user_id,
+           upper(event_type) AS event_type_uc,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           coalesce(value, 0.0) AS value_filled
+    FROM events
+    """,
+)
+def s3_normalize_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.col("ts").alias("event_ts"),
+        "user_id",
+        F.upper(F.col("event_type")).alias("event_type_uc"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — scalar-function showcase (SURVEY §2.7): round/abs/least/greatest/
+# coalesce/nullif/concat/cast/date_trunc.
+# ---------------------------------------------------------------------------
+@register(
+    "f1_scalar_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice) * 10.0 + 0.5 + 1e-6) / 10.0                         AS rounded_price,
+           abs(l_discount - 0.05)                            AS abs_disc_delta,
+           least(l_quantity, l_discount * 100.0, l_tax * 100.0)    AS least3,
+           greatest(l_quantity, l_discount * 100.0, l_tax * 100.0) AS greatest3,
+           coalesce(nullif(l_returnflag, 'N'), 'none')       AS flag_or_none,
+           'qty=' || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS qty_note,
+           CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month
+    FROM lineitem
+    """,
+)
+def f1_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.col("l_extendedprice"), 1).alias("rounded_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.least(
+            F.col("l_quantity"), F.col("l_discount") * 100.0, F.col("l_tax") * 100.0
+        ).alias("least3"),
+        F.greatest(
+            F.col("l_quantity"), F.col("l_discount") * 100.0, F.col("l_tax") * 100.0
+        ).alias("greatest3"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.concat(F.lit("qty="), F.col("l_quantity").cast("int").cast("string")).alias(
+            "qty_note"
+        ),
+        _trunc("month", F.col("l_shipdate")).alias("ship_month"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — tumbling-window (hourly) aggregation via date_trunc
+# (aggregation.py:112-153): events per hour × type.
+# ---------------------------------------------------------------------------
+@register(
+    "a1_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           floor((avg(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_value,
+           floor((sum(value)) * 100.0 + 0.5 + 1e-6) / 100.0 AS sum_value,
+           floor((min(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS min_value,
+           floor((max(value)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def a1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy(
+        _trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+        rnd(F.sum("value"), 2).alias("sum_value"),
+        rnd(F.min("value"), 4).alias("min_value"),
+        rnd(F.max("value"), 4).alias("max_value"),
+    )

@@ -1,0 +1,391 @@
+"""Text-analysis + deduplication operators over the `documents` table.
+
+Large-scale-training-data-pipeline surface (beyond the reference's own
+operators): exact dedup, shingle-Jaccard near-dup, MinHash+LSH near-dup,
+token/char statistics, heuristic language-ID, document fingerprinting.
+
+All of it is built from JVM-side built-ins (split/transform/aggregate/
+regexp_count/md5) — no Python UDFs — so the shingle explosion, the
+minhash map-side, and the band-bucket join all run inside whole-stage
+codegen and scale by partitioning on (shingle|band_key).
+
+MinHash determinism note: hash_i(shingle) = md5(i || ':' || shingle) gives
+engine-independent hash functions (md5 is identical everywhere), so the
+DuckDB oracle can reproduce signatures exactly — Spark's murmur3 `hash()`
+would be engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_tables
+from ..functions.rounding import rnd
+from . import register
+
+# token array from a document, identical semantics both engines
+_SPARK_TOKENS = "split(trim(lower(text)), '\\\\s+')"
+_DUCK_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# 3-word shingles (1-based element access in both engines)
+_SPARK_SHINGLES = (
+    "transform(sequence(1, size(tokens) - 2), "
+    "i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), "
+    "element_at(tokens, i + 2)))"
+)
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, len(tokens) - 2), "
+    "i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])"
+)
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .withColumn("tokens", F.expr(_SPARK_TOKENS))
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; docs with < 3 tokens drop out."""
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.col("n_tokens") >= 3)
+        .select("doc_id", F.explode(F.expr(f"array_distinct({_SPARK_SHINGLES})")).alias("shingle"))
+    )
+
+
+_DUCK_DOC_SHINGLES = f"""
+      WITH tk AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+        FROM tk WHERE len(tokens) >= 3
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 — text statistics / quality scoring (length, token stats, ratios).
+# ---------------------------------------------------------------------------
+@register(
+    "t1_text_stats",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tokens FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           CAST(len(tokens) AS INTEGER) AS n_tokens,
+           floor((CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_token_len,
+           floor((CAST(len(list_filter(tokens, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(tokens)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS stopword_ratio,
+           (len(tokens) BETWEEN 5 AND 1000) AS len_ok
+    FROM tk WHERE len(tokens) > 0
+    """,
+)
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    total_len = F.expr("aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)")
+    stop_hits = F.expr("size(filter(tokens, t -> t = 'the' OR t = 'a'))")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        rnd(total_len.cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        rnd(stop_hits.cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.col("n_tokens").between(5, 1000).alias("len_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — BPE-ish regex token counting.
+# ---------------------------------------------------------------------------
+@register(
+    "t2_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INTEGER) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_tokens,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER) AS n_symbol_tokens
+    FROM documents
+    """,
+)
+def t2_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z]+")).cast("int").alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("int").alias("n_symbol_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — heuristic language ID by stopword hit counts (first-match
+# priority on ties, like the reference's CASE chains).
+# ---------------------------------------------------------------------------
+_LANG_PATTERNS = {
+    "en": r"\b(the|is|and|of)\b",
+    "de": r"\b(der|die|und|das)\b",
+    "fr": r"\b(le|la|et|les)\b",
+    "es": r"\b(el|los|y|las)\b",
+}
+
+
+def _lang_case_sql(hit_template: str, esc: bool = False) -> str:
+    """CASE chain choosing the language with the most stopword hits.
+
+    ``hit_template`` is an engine-specific count-matches expression with a
+    ``{p}`` placeholder (Spark: regexp_count; DuckDB: len(regexp_extract_all)
+    — this DuckDB build has no regexp_count). Spark SQL string literals
+    treat backslash as an escape, DuckDB's don't, so the Spark variant
+    doubles them (``esc=True``).
+    """
+    hits = {
+        k: hit_template.format(p=v.replace("\\", "\\\\") if esc else v)
+        for k, v in _LANG_PATTERNS.items()
+    }
+    return f"""
+      CASE WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+                AND {hits['en']} >= {hits['es']} THEN 'en'
+           WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+           WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+           ELSE 'es' END
+    """
+
+
+_DUCK_HITS = "len(regexp_extract_all(lower(text), '{p}'))"
+_SPARK_HITS = "regexp_count(lower(text), '{p}')"
+
+
+@register(
+    "t3_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_lang_case_sql(_DUCK_HITS)} AS predicted_lang,
+           ({_lang_case_sql(_DUCK_HITS)} = lang) AS lang_match
+    FROM documents
+    """,
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    case = F.expr(_lang_case_sql(_SPARK_HITS, esc=True))
+    return d.select(
+        "doc_id", "lang", case.alias("predicted_lang"), (case == F.col("lang")).alias("lang_match")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 — document fingerprint: md5 over the sorted distinct token set
+# (word-order-insensitive canonical form).
+# ---------------------------------------------------------------------------
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
+    FROM tk
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("tokens"))), " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact deduplication by content hash; canonical = min doc_id.
+# ---------------------------------------------------------------------------
+@register(
+    "d1_dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(lower(text))) AS content_hash,
+           min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS canonical_id,
+           (doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text))))) AS is_canonical
+    FROM documents
+    """,
+)
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.md5(F.trim(F.lower(F.col("text"))))
+    w = Window.partitionBy(h)
+    return d.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — n-gram (3-word shingle) Jaccard near-dup pairs.
+# Scale path: the join key is the shingle itself; common-shingle skew is
+# bounded because shingles are 3-grams (selective), and the pair-count
+# aggregation is a partial+final hash agg on (doc_a, doc_b).
+# ---------------------------------------------------------------------------
+@register(
+    "d2_dedup_ngram_jaccard",
+    oracle=f"""
+    {_DUCK_DOC_SHINGLES},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+    SELECT p.doc_a, p.doc_b,
+           floor((p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS jaccard
+    FROM pairs p
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id
+    WHERE p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) >= 0.1
+    """,
+)
+def d2_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") * 1.0 / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("inter"))
+    return (
+        pairs.join(counts.withColumnRenamed("n_sh", "n_sh_a"), pairs.doc_a == counts.doc_id)
+        .drop("doc_id")
+        .join(
+            counts.withColumnRenamed("n_sh", "n_sh_b").withColumnRenamed("doc_id", "doc_id_b"),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 — MinHash + LSH banding near-dup detection (engine-independent md5
+# hash family), verified with the true shingle Jaccard on candidates.
+# 16 hashes, 4 bands × 4 rows.
+# ---------------------------------------------------------------------------
+_N_HASHES = 16
+_BAND_SIZE = 4
+
+
+@register(
+    "d3_dedup_minhash_lsh",
+    oracle=f"""
+    {_DUCK_DOC_SHINGLES},
+      seeds AS (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed),
+      sig AS (
+        SELECT sh.doc_id, s.seed,
+               min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.shingle)) AS minhash
+        FROM sh CROSS JOIN seeds s
+        GROUP BY sh.doc_id, s.seed
+      ),
+      bands AS (
+        SELECT doc_id, seed / {_BAND_SIZE} AS band_id,
+               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+        FROM sig GROUP BY doc_id, seed / {_BAND_SIZE}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+      ),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+        GROUP BY c.doc_a, c.doc_b
+      )
+    SELECT i.doc_a, i.doc_b,
+           floor((i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS jaccard
+    FROM inter i
+    JOIN counts ca ON i.doc_a = ca.doc_id
+    JOIN counts cb ON i.doc_b = cb.doc_id
+    WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def d3_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
+    sig = (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "minhash",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("minhash").alias("minhash"))
+    )
+    bands = (
+        sig.withColumn("band_id", (F.col("seed") / _BAND_SIZE).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") * 1.0 / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+    return (
+        inter.join(
+            counts.withColumnRenamed("n_sh", "n_sh_a").withColumnRenamed("doc_id", "ca"),
+            F.col("doc_a") == F.col("ca"),
+        )
+        .join(
+            counts.withColumnRenamed("n_sh", "n_sh_b").withColumnRenamed("doc_id", "cb"),
+            F.col("doc_b") == F.col("cb"),
+        )
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    )
