@@ -1,0 +1,79 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end into the `noop` sink (full computation, no
+column pruning shortcut, no driver collect). First a warmup query runs so
+JVM/codegen startup isn't billed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_data_pipeline_sv_spark.catalog import all_queries
+from weather_data_pipeline_sv_spark.session import get_spark
+
+# scale-stressing representative subset of the catalog
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "a1_hourly_rollup",
+    "a4_circular_mean",
+    "j1_broadcast_dim_join",
+    "j2_idw_range_join",
+    "j3_interval_self_join",
+    "w1_lag_jump_check",
+    "w2_latest_per_key",
+    "o3_knn_topk",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "v1_cosine_topk",
+    "t1_text_stats",
+    "t4_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="wdp-sv-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: spin up executors / codegen paths outside the measurement
+    queries["a10_union_report"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (noop sink), local["
+                + os.environ.get("SPARK_GRAFT_CPUS", "32")
+                + "]",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
