@@ -1,0 +1,210 @@
+"""Gold-layer spatial aggregation: IDW interpolation to postal × hour.
+
+Re-expresses the reference's CTE chain (`src/transformation/aggregation.py
+:61-223`) as DataFrame ops:
+
+  data_with_location    → broadcast equi join stations (J1)
+  data_to_postal_mapping→ haversine range join ≤50 km + idw_weight (J2)
+  hourly_aggregates     → hash agg on (postal_code, hour[, issue_ts]) (A1-A6)
+  final projection      → rounding, wind normalization, combined score (A7)
+
+Replicated quirks (SURVEY.md §2.10): Q1 `_sum` columns are IDW means;
+Q5 combined score uses avg_distance_km though only max is stored; Q6 wind
+normalization wraps once; Q11 zero-distance ⇒ NULL weight (row still counts
+for MIN/MAX/COUNT but not the weighted means).
+
+Physical plan at scale: stations and postal_codes are small dims
+(README.md:16,139) ⇒ both joins broadcast; the only shuffle is the gold
+group-by, keyed on (postal_code, hour) — high cardinality, well spread.
+If the postal dim ever outgrows broadcast, swap the crossJoin for
+``operators/spatial.py::bucketed_range_join`` (grid-cell equi join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import ntz_lit
+from ..functions.geo import haversine_km
+from ..functions.rounding import rnd
+
+RADIUS_KM = 50.0
+OBSERVATION = "observation"
+FORECAST = "forecast"
+
+
+def _idw_mean(col: str) -> Column:
+    # SUM(x*w)/NULLIF(SUM(w),0) — aggregation.py:120 etc. Note the
+    # denominator is the weight sum over ALL rows of the group (a NULL
+    # measure drops out of the numerator only — reference behavior, kept
+    # verbatim); NULL weights (zero distance, Q11) drop out of both.
+    return F.sum(F.col(col) * F.col("idw_weight")) / F.nullif(
+        F.sum("idw_weight"), F.lit(0.0)
+    )
+
+
+def map_to_postal_codes(
+    stg: DataFrame,
+    stations: DataFrame,
+    postal_codes: DataFrame,
+    time_field: str,
+    asof: dt.datetime,
+    lookback_hours: int,
+    issue_time_filter: bool,
+) -> DataFrame:
+    """Steps 1-2: attach coordinates, fan out to postal codes within 50 km.
+
+    ``issue_time_filter``: forecasts window on forecast_timestamp while
+    grouping on target_timestamp (quirk Q4).
+    """
+    cutoff = ntz_lit(asof) - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+    filter_col = "forecast_timestamp" if issue_time_filter else time_field
+
+    located = (
+        stg.filter(F.col(filter_col) >= cutoff)
+        .filter(F.col("data_quality_score") >= 0.5)
+        .join(
+            F.broadcast(
+                stations.filter(F.col("latitude").isNotNull()).select(
+                    "station_id", "latitude", "longitude"
+                )
+            ),
+            "station_id",
+        )
+    )
+    dist = haversine_km(
+        F.col("latitude"), F.col("longitude"),
+        F.col("centroid_lat"), F.col("centroid_lon"),
+    )
+    return (
+        located.crossJoin(
+            F.broadcast(
+                postal_codes.filter(F.col("centroid_lat").isNotNull()).select(
+                    "postal_code", "centroid_lat", "centroid_lon"
+                )
+            )
+        )
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= RADIUS_KM)
+        .withColumn(
+            "idw_weight",
+            F.lit(1.0)
+            / F.nullif(F.col("distance_km") * F.col("distance_km"), F.lit(0.0)),
+        )
+    )
+
+
+def aggregate_to_postal_codes(
+    stg: DataFrame,
+    stations: DataFrame,
+    postal_codes: DataFrame,
+    data_type: str,
+    asof: dt.datetime,
+    lookback_hours: int | None = None,
+) -> DataFrame:
+    """stg_{observations,forecasts} → analytics_weather_by_postal_code rows.
+
+    Reference defaults: lookback 24 h for observations, 48 h for forecasts
+    (`transform.py:18-123`, `transform_weather_dag.py:65,100` uses 168/48 —
+    pass explicitly).
+    """
+    is_fcst = data_type == FORECAST
+    time_field = "target_timestamp" if is_fcst else "timestamp"
+    if lookback_hours is None:
+        lookback_hours = 48 if is_fcst else 24
+
+    mapped = map_to_postal_codes(
+        stg, stations, postal_codes, time_field, asof, lookback_hours,
+        issue_time_filter=is_fcst,
+    )
+    if not is_fcst:
+        # NULL::TIMESTAMP forecast_timestamp (aggregation.py:38)
+        mapped = mapped.withColumn(
+            "forecast_timestamp", F.lit(None).cast("timestamp_ntz")
+        )
+
+    hour = F.date_trunc("hour", F.col(time_field)).cast("timestamp_ntz")
+    wind_sin = F.sum(F.sin(F.radians("wind_direction")) * F.col("idw_weight"))
+    wind_cos = F.sum(F.cos(F.radians("wind_direction")) * F.col("idw_weight"))
+
+    agg = (
+        mapped.groupBy(
+            "postal_code", hour.alias("timestamp"), "forecast_timestamp"
+        )
+        .agg(
+            _idw_mean("temperature").alias("temperature_avg"),
+            F.min("temperature").alias("temperature_min"),
+            F.max("temperature").alias("temperature_max"),
+            _idw_mean("precipitation").alias("precipitation_sum"),  # Q1: mean
+            _idw_mean("wind_speed").alias("wind_speed_avg"),
+            F.max("wind_speed").alias("wind_speed_max"),
+            F.degrees(F.atan2(wind_sin, wind_cos)).alias("wind_direction_avg"),
+            _idw_mean("cloud_cover").alias("cloud_cover_avg"),
+            _idw_mean("pressure").alias("pressure_msl_avg"),
+            _idw_mean("sunshine").alias("sunshine_sum"),  # Q1: mean
+            _idw_mean("visibility").alias("visibility_avg"),
+            _idw_mean("dew_point").alias("dew_point_avg"),
+            _idw_mean("humidity").alias("relative_humidity_avg"),
+            F.countDistinct("station_id").alias("num_stations"),
+            F.avg("data_quality_score").alias("avg_quality_score"),
+            F.max("distance_km").alias("max_distance_km"),
+            F.avg("distance_km").alias("avg_distance_km"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") >= 1)  # HAVING COUNT(*) >= 1 — vacuous (Q7)
+    )
+
+    wd = F.col("wind_direction_avg")
+    wd_norm = (
+        F.when(wd < 0, wd + 360).when(wd >= 360, wd - 360).otherwise(wd)
+    )  # one wrap only (Q6), aggregation.py:176-183
+    combined_score = (
+        F.col("avg_quality_score") * 0.6
+        + F.least(F.col("num_stations") / 3.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("avg_distance_km") / 50.0, F.lit(1.0))) * 0.2
+    )  # aggregation.py:192-198 — uses avg_distance_km (Q5)
+
+    asof_ts = ntz_lit(asof)
+    return agg.select(
+        "postal_code",
+        "timestamp",
+        F.lit(data_type).alias("data_type"),
+        "forecast_timestamp",
+        rnd("temperature_avg", 2).alias("temperature_avg"),
+        rnd("temperature_min", 2).alias("temperature_min"),
+        rnd("temperature_max", 2).alias("temperature_max"),
+        rnd("precipitation_sum", 2).alias("precipitation_sum"),
+        rnd("wind_speed_avg", 2).alias("wind_speed_avg"),
+        rnd("wind_speed_max", 2).alias("wind_speed_max"),
+        rnd(wd_norm, 0).cast("int").alias("wind_direction_avg"),
+        rnd("cloud_cover_avg", 0).cast("int").alias("cloud_cover_avg"),
+        rnd("pressure_msl_avg", 2).alias("pressure_msl_avg"),
+        rnd("sunshine_sum", 0).cast("int").alias("sunshine_sum"),
+        rnd("visibility_avg", 0).cast("int").alias("visibility_avg"),
+        rnd("dew_point_avg", 2).alias("dew_point_avg"),
+        rnd("relative_humidity_avg", 0).cast("int").alias("relative_humidity_avg"),
+        "num_stations",
+        rnd(combined_score, 2).alias("avg_quality_score"),
+        rnd("max_distance_km", 2).alias("max_distance_km"),
+        F.lit(None).cast("array<string>").alias("interpolated_fields"),  # Q7
+        asof_ts.alias("created_at"),
+        asof_ts.alias("updated_at"),
+    )
+
+
+def expansion_factor(mapped_count: int, source_count: int) -> tuple[float, str]:
+    """Spatial-join blow-up guardrail (aggregation.py:231-246).
+
+    10-100× is healthy, >500× error, <1× warn (README.md:156-159).
+    """
+    if source_count == 0:
+        return 0.0, "no-source"
+    factor = mapped_count / source_count
+    if factor > 500:
+        return factor, "error"
+    if factor < 1:
+        return factor, "warn"
+    return factor, "ok"
