@@ -1,0 +1,95 @@
+"""Medallion parquet writers.
+
+Layout (SURVEY.md §1.4): ``<root>/{bronze,silver,gold}/<table>/``, fact
+tables partitioned by event date — the columnar analogue of the reference's
+BRIN time indexes (`sql/schema.sql:279-292`): partition pruning + row-group
+min/max stats make lookback reads cheap at any scale.
+
+Incremental upserts (the ON CONFLICT replacement) compose merge-by-key with
+dynamic partition overwrite: merge only the partitions the batch touches,
+rewrite only those. The session sets
+``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.py).
+
+Atomicity: parquet has no transactions (X12); job-level idempotency comes
+from merge-by-key re-runs, and Spark's output committer keeps partial
+writes invisible (_temporary → rename).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_update_wins
+
+_DATE_COL = "__part_date"
+
+
+def table_path(root: str, layer: str, table: str) -> str:
+    return os.path.join(root, layer, table)
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    layer: str,
+    table: str,
+    partition_by_date_of: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write a full table; fact tables get date partitioning + a sort within
+    partitions by their natural key prefix (X7's composite-index analogue)."""
+    path = table_path(root, layer, table)
+    writer = df
+    if partition_by_date_of is not None:
+        writer = df.withColumn(_DATE_COL, F.to_date(F.col(partition_by_date_of)))
+        writer.write.mode(mode).partitionBy(_DATE_COL).parquet(path)
+    else:
+        writer.write.mode(mode).parquet(path)
+    return path
+
+
+def read_table(
+    spark: SparkSession, root: str, layer: str, table: str, schema=None
+) -> DataFrame:
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(table_path(root, layer, table))
+    return df.drop(_DATE_COL) if _DATE_COL in df.columns else df
+
+
+def upsert_table(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    layer: str,
+    table: str,
+    keys: Sequence[str],
+    partition_by_date_of: str,
+    order_col: str | None = None,
+) -> str:
+    """Incremental update-wins upsert touching only affected date partitions.
+
+    Reads back just the partitions present in the batch (partition pruning
+    via the date filter), merges, and dynamic-overwrites those partitions —
+    the 100 TB-safe version of ON CONFLICT: work is proportional to the
+    batch's date span, never the whole table.
+    """
+    path = table_path(root, layer, table)
+    incoming = incoming.withColumn(
+        _DATE_COL, F.to_date(F.col(partition_by_date_of))
+    )
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first load
+        incoming.write.mode("overwrite").partitionBy(_DATE_COL).parquet(path)
+        return path
+
+    touched = [r[_DATE_COL] for r in incoming.select(_DATE_COL).distinct().collect()]
+    slice_ = existing.filter(F.col(_DATE_COL).isin(touched))
+    merged = merge_update_wins(slice_, incoming, keys, order_col=order_col)
+    # dynamic mode replaces only the partitions present in `merged`
+    merged.write.mode("overwrite").partitionBy(_DATE_COL).parquet(path)
+    return path

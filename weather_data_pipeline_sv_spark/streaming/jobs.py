@@ -1,0 +1,123 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §2.8, §7 M6).
+
+The reference has no true streaming — its "stream" is cron-scheduled batch
+with a MAX(timestamp) watermark (`ingest_observations_dag.py:30`,
+`observations.py:144-157`). Two re-expressions live here:
+
+1. ``incremental_batch_run``: the faithful one — watermark-driven
+   micro-batch, identical semantics to the reference's scheduler loop.
+2. ``stream_hourly_rollup`` + ``stream_to_gold``: the Spark-native upgrade —
+   ``readStream`` with a 2-hour event-time watermark and 1-hour tumbling
+   windows reproducing the DATE_TRUNC('hour') grouping
+   (`aggregation.py:116,152`), with late rows handled by the watermark
+   instead of the reference's 7-day reprocessing window; ``foreachBatch``
+   merges each micro-batch into gold with the same merge-by-key writer the
+   batch path uses, so both paths share one upsert semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.merge import merge_update_wins
+
+
+def incremental_batch_run(
+    bronze: DataFrame,
+    last_watermark: dt.datetime | None,
+    process: Callable[[DataFrame], DataFrame],
+) -> tuple[DataFrame, dt.datetime | None]:
+    """One watermark-driven micro-run: process only rows newer than the
+    previous high-water mark; return (result, new_watermark)."""
+    batch = bronze
+    if last_watermark is not None:
+        batch = bronze.filter(F.col("timestamp") > F.lit(last_watermark))
+    new_wm = batch.agg(F.max("timestamp")).first()[0] or last_watermark
+    return process(batch), new_wm
+
+
+def read_observation_stream(
+    spark: SparkSession, path: str, schema
+) -> DataFrame:
+    """File-source stream over a bronze landing directory (schema declared —
+    no inference, matching the engine's schema discipline)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-station hourly tumbling-window aggregates with late-data bound.
+
+    ``window(ts, '1 hour')`` ≡ the batch path's DATE_TRUNC('hour'); the
+    watermark lets state be dropped — at scale this is what makes the
+    aggregation's state bounded regardless of input volume.
+    """
+    # watermarks require TimestampType (instants); the cast is
+    # wall-preserving under the UTC session, and the window start is cast
+    # back to NTZ so downstream matches the batch path's types
+    return (
+        stream.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        .withWatermark("timestamp", watermark)
+        .groupBy(
+            F.window(F.col("timestamp"), "1 hour").alias("w"),
+            "station_id",
+        )
+        .agg(
+            F.avg("temperature").alias("temperature_avg"),
+            F.min("temperature").alias("temperature_min"),
+            F.max("temperature").alias("temperature_max"),
+            F.avg("wind_speed").alias("wind_speed_avg"),
+            F.max("wind_speed").alias("wind_speed_max"),
+            F.avg("precipitation").alias("precipitation_avg"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "station_id",
+            F.col("w.start").cast("timestamp_ntz").alias("hour_ts"),
+            "temperature_avg", "temperature_min", "temperature_max",
+            "wind_speed_avg", "wind_speed_max", "precipitation_avg", "n_rows",
+        )
+    )
+
+
+def stream_to_gold(
+    rollup: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    keys: tuple[str, ...] = ("station_id", "hour_ts"),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch merge of each micro-batch into a gold parquet table —
+    update-wins per (station, hour), so window updates (late rows within the
+    watermark) overwrite their previous emission idempotently."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(output_path)
+        except Exception:
+            batch.write.mode("overwrite").parquet(output_path)
+            return
+        merged = merge_update_wins(existing, batch, list(keys))
+        # can't overwrite a path while reading it lazily: stage + swap
+        # (at cluster scale this is the write-to-staging + atomic-rename
+        # pattern of X12; Delta MERGE would subsume it if available)
+        staging = f"{output_path}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(output_path)
+        shutil.move(staging, output_path)
+
+    writer = (
+        rollup.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_merge)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
