@@ -1,0 +1,141 @@
+"""Unit tests for operators/dedup.py — the reusable dedup library behind
+catalog entries d1-d5 (exact hash, n-gram Jaccard, MinHash+LSH, SimHash).
+
+Covers the properties the oracle parity test can't see:
+- LSH banding candidate generation loses no pair the brute-force verifier
+  would accept (MinHash probabilistically at high thresholds on crafted
+  near-dups; SimHash *deterministically* by pigeonhole at hamming <= 3)
+- greedy drop_near_duplicates collapses transitive chains in one anti join
+- the stop-shingle frequency cap actually removes hot shingles
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_sv_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def test_exact_duplicates_canonical_is_min_id(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello  World"),
+            (2, "  hello world "),  # same after trim+lower+split? no — double space
+            (3, "hello world"),
+            (4, "something else"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dd.exact_duplicates(df, "doc_id", "text").collect()}
+    # 2 and 3 normalize identically ("hello world"); 1 has a double space so
+    # trim+lower alone does NOT fold it — exact dedup is byte-exact by design
+    assert out[2]["canonical_id"] == 2 and out[2]["is_canonical"]
+    assert out[3]["canonical_id"] == 2 and not out[3]["is_canonical"]
+    assert out[1]["is_canonical"] and out[4]["is_canonical"]
+
+
+def test_jaccard_pairs_identical_docs_score_one(spark):
+    df = _docs(spark, [(1, BASE), (2, BASE), (3, "completely different words here entirely")])
+    pairs = dd.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert abs(pairs[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_minhash_lsh_finds_crafted_near_dups(spark):
+    # 1/2: one word changed out of 15 -> shingle Jaccard ~ (13-3+1... high);
+    # 3: unrelated. With 16 hashes x 4 bands the detection probability for
+    # J~0.8 is 1-(1-0.8^4)^4 ~ 0.92 per pair; md5 family is deterministic so
+    # this test is stable (not flaky): it either always passes or never does.
+    df = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE.replace("lazy", "sleepy")),
+            (3, "metal oxide semiconductors amplify tiny currents in modern chips"),
+        ],
+    )
+    pairs = dd.minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, n_hashes=16, band_size=4, threshold=0.3
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    jac = pairs[0]["jaccard"]
+    assert 0.3 <= jac < 1.0
+
+
+def test_minhash_jaccard_matches_true_jaccard(spark):
+    """The LSH path's verified jaccard equals the brute-force jaccard."""
+    df = _docs(spark, [(1, BASE), (2, BASE.replace("lazy", "sleepy"))])
+    brute = dd.jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()[0]["jaccard"]
+    lsh = dd.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    assert lsh and abs(lsh[0]["jaccard"] - brute) < 1e-12
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = _docs(spark, [(1, BASE), (2, BASE)])
+    sigs = {r["doc_id"]: r for r in dd.simhash(df, "doc_id", "text").collect()}
+    assert sigs[1]["simhash_hi"] == sigs[2]["simhash_hi"]
+    assert sigs[1]["simhash_lo"] == sigs[2]["simhash_lo"]
+    # both halves fit in 32 bits (unsigned) — stored in longs, never negative
+    for s in sigs.values():
+        assert 0 <= s["simhash_hi"] < 2**32 and 0 <= s["simhash_lo"] < 2**32
+    pairs = dd.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_banding_is_pigeonhole_complete(spark, sf_dir):
+    """Banded candidates == brute-force all-pairs at hamming <= 3 on the real
+    documents table (the property the d4 oracle relies on)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sig = dd.simhash(docs, "doc_id", "text")
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_drop_near_duplicates_collapses_transitive_chain(spark):
+    df = _docs(spark, [(i, f"doc {i}") for i in range(1, 6)])
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (4, 5, 0.95)],  # chain 1-2-3 and pair 4-5
+        "doc_a long, doc_b long, jaccard double",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dd.drop_near_duplicates(df, "doc_id", pairs).collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_stop_shingle_cap_drops_hot_shingles(spark):
+    # "a b c" appears in all 4 docs -> dropped at cap 3; unique tails survive
+    df = _docs(spark, [(i, f"a b c unique{i} tail{i} word{i}") for i in range(4)])
+    sh_all = dd.explode_shingles(df, "doc_id", "text", n=3)
+    sh_cap = dd.explode_shingles(df, "doc_id", "text", n=3, max_shingle_df=3)
+    hot = {r["shingle"] for r in sh_all.collect()} - {r["shingle"] for r in sh_cap.collect()}
+    assert "a b c" in hot
+    # no doc pair shares a capped shingle anymore -> zero jaccard pairs
+    assert not dd.jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=3
+    ).collect()

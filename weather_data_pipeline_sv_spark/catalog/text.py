@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as dd
 from ..sources import load_tables
 from ..functions.rounding import rnd
 from . import register
@@ -251,30 +252,9 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d2_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter") * 1.0 / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("inter"))
-    return (
-        pairs.join(counts.withColumnRenamed("n_sh", "n_sh_a"), pairs.doc_a == counts.doc_id)
-        .drop("doc_id")
-        .join(
-            counts.withColumnRenamed("n_sh", "n_sh_b").withColumnRenamed("doc_id", "doc_id_b"),
-            F.col("doc_b") == F.col("doc_id_b"),
-        )
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
-    )
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+    return pairs.select("doc_a", "doc_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -325,67 +305,96 @@ _BAND_SIZE = 4
     """,
 )
 def d3_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
-    sig = (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "minhash",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("minhash").alias("minhash"))
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3,
+        n_hashes=_N_HASHES, band_size=_BAND_SIZE, threshold=0.5,
     )
-    bands = (
-        sig.withColumn("band_id", (F.col("seed") / _BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda x: x["minhash"],
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    jac = F.col("n_inter") * 1.0 / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
-    return (
-        inter.join(
-            counts.withColumnRenamed("n_sh", "n_sh_a").withColumnRenamed("doc_id", "ca"),
-            F.col("doc_a") == F.col("ca"),
-        )
-        .join(
-            counts.withColumnRenamed("n_sh", "n_sh_b").withColumnRenamed("doc_id", "cb"),
-            F.col("doc_b") == F.col("cb"),
-        )
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+    return pairs.select("doc_a", "doc_b", rnd(F.col("jaccard"), 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# D4 — SimHash near-dup pairs (Hamming distance ≤ 3 over a 64-bit
+# signature stored as two 32-bit halves).
+#
+# The Spark side generates candidates by LSH banding (4 bands × 16 bits)
+# then verifies; the oracle is BRUTE-FORCE all-pairs Hamming. They agree
+# because ≤3 differing bits across 4 bands pigeonholes at least one band
+# identical — so the oracle also proves the banding loses no pairs.
+# ---------------------------------------------------------------------------
+_MAX_HAMMING = 3
+
+_DUCK_SIMHASH_SIG = r"""
+      WITH tk AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents
+      ), h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+        FROM tk
+      ), votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN (hi >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s_hi,
+               sum(CASE WHEN (lo >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s_lo
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+        GROUP BY doc_id, b.bit
+      ), sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s_hi > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash_hi,
+               CAST(sum(CASE WHEN s_lo > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash_lo
+        FROM votes GROUP BY doc_id
+      )
+"""
+
+
+@register(
+    "d4_dedup_simhash",
+    oracle=f"""
+    {_DUCK_SIMHASH_SIG}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+                + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+          + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {_MAX_HAMMING}
+    """,
+)
+def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.simhash_pairs(d, "doc_id", "text", max_hamming=_MAX_HAMMING)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# D5 — near-dup removal: documents surviving a greedy keep-lowest-id drop
+# of every Jaccard ≥ 0.6 pair (anti join against the losers set).
+# ---------------------------------------------------------------------------
+@register(
+    "d5_dedup_survivors",
+    oracle=f"""
+    {_DUCK_DOC_SHINGLES},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      losers AS (
+        SELECT DISTINCT p.doc_b
+        FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) >= 0.6
+      )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_b
+    WHERE l.doc_b IS NULL
+    """,
+)
+def d5_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return dd.drop_near_duplicates(d, "doc_id", pairs).select(
+        "doc_id", "lang", "source", "n_chars"
     )

@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale text corpora.
+
+First-class components of the engine (beyond the weather reference's own
+surface): exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash. All are
+pure DataFrame compositions — hashing via md5 (engine-independent, so the
+DuckDB oracle in the catalog can replay MinHash exactly), bit math via
+built-ins — no Python UDFs anywhere, so every stage stays in whole-stage
+codegen.
+
+Scale design:
+- the shingle explode is map-side (no shuffle until the first groupBy)
+- candidate generation shuffles on (band_id, band_key) / shingle — selective
+  keys; a stop-shingle cap (``max_shingle_df``) bounds worst-case skew the
+  same way stop-word removal does
+- verification only runs on candidate pairs, never all O(n²) pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), TOKEN_PATTERN)
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (1-based element_at)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def explode_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) distinct pairs. ``max_shingle_df``: drop shingles that
+    occur in more than this many docs (stop-shingles → join-skew guard)."""
+    tok = tokens(F.col(text_col))
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), tok.alias("__tok"))
+        .filter(F.size("__tok") >= n)
+        .select("doc_id", F.explode(word_shingles(F.col("__tok"), n)).alias("shingle"))
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-content hash; canonical = min id."""
+    h = F.md5(F.trim(F.lower(F.col(text_col))))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h.alias("content_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.8, max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold (shared-shingle join →
+    pair count → |A∪B| via per-doc counts)."""
+    sh = explode_shingles(df, id_col, text_col, n, max_shingle_df)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _attach_jaccard(inter, counts, threshold)
+
+
+def _attach_jaccard(inter: DataFrame, counts: DataFrame, threshold: float) -> DataFrame:
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, seed, minhash) — hash family h_i(s) = md5(i ':' s); md5 is
+    identical in every engine, which keeps the operator oracle-replayable."""
+    return (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        )
+        .withColumn(
+            "minhash",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("minhash").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    n_hashes: int = 16, band_size: int = 4, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """MinHash + banding candidates, verified with true shingle Jaccard."""
+    sh = explode_shingles(df, id_col, text_col, n, max_shingle_df)
+    sig = minhash_signatures(sh, n_hashes)
+    bands = (
+        sig.withColumn("band_id", (F.col("seed") / band_size).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _attach_jaccard(inter, counts, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (hi, lo).
+
+    Per token: md5 → two 32-bit words; per bit: vote +1/-1; sign of the vote
+    sum sets the bit. Two longs avoid 64-bit-unsigned overflow and make
+    Hamming distance a pair of bit_count(xor) calls — all built-ins.
+    """
+    tok = tokens(F.col(text_col))
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("t"))
+        .withColumn("h", F.md5(F.col("t")))
+        .withColumn("hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
+        .select(
+            "doc_id", "hi", "lo",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            # pyspark's shiftright() wrapper only takes a literal shift;
+            # the JVM expression takes a column — go through expr()
+            F.when(F.expr("shiftright(hi, CAST(bit AS INT)) & 1") == 1, 1)
+            .otherwise(-1)
+            .alias("v_hi"),
+            F.when(F.expr("shiftright(lo, CAST(bit AS INT)) & 1") == 1, 1)
+            .otherwise(-1)
+            .alias("v_lo"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v_hi").alias("s_hi"), F.sum("v_lo").alias("s_lo"))
+    )
+    one_shl_bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    bit_hi = F.when(F.col("s_hi") > 0, one_shl_bit).otherwise(F.lit(0).cast("long"))
+    bit_lo = F.when(F.col("s_lo") > 0, one_shl_bit).otherwise(F.lit(0).cast("long"))
+    return exploded.groupBy("doc_id").agg(
+        F.sum(bit_hi).alias("simhash_hi"), F.sum(bit_lo).alias("simhash_lo")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates via 4 bands of 16 bits (pigeonhole: ≤3 differing bits ⇒ at
+    least one of 4 bands identical), then exact Hamming verification.
+    """
+    s = simhash(df, id_col, text_col)
+    bands = s.select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(col, shift).bitwiseAND(0xFFFF).alias("band_key"),
+                    )
+                    for i, (col, shift) in enumerate(
+                        [(F.col("simhash_hi"), 16), (F.col("simhash_hi"), 0),
+                         (F.col("simhash_lo"), 16), (F.col("simhash_lo"), 0)]
+                    )
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash_hi", "simhash_lo", "band.band_id", "band.band_key")
+    hamming = (
+        F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+        + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Greedy dedup: for every near-dup pair keep the lower id, drop the
+    higher (doc_b side). One anti join — no iterative connected components;
+    transitive chains collapse because every non-minimal member appears as a
+    doc_b in at least one pair."""
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
