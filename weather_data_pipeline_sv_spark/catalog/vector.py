@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import rnd, rnd_sql
+from ..operators import similarity as sim
 from ..sources import load_tables
-from ..functions.rounding import rnd
 from . import register
 
 _N_QUERIES = 10
@@ -125,3 +126,200 @@ def v2_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+def _corpus_and_queries(spark: SparkSession, sf_dir: str):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return emb, q
+
+
+# ---------------------------------------------------------------------------
+# V3 — LSH ANN top-k: 32 md5-derived random hyperplanes, 8 bands × 4 sign
+# bits → bucket equi-join candidates → exact cosine verify → top-5.
+# The md5 plane matrix is engine-independent, so the DuckDB oracle rebuilds
+# the *identical* buckets — the approximation itself is oracle-checked,
+# not just the verify step. (Recall vs brute force ≈ 0.7 on this corpus;
+# measured in tests/test_similarity_operators.py.)
+# ---------------------------------------------------------------------------
+_N_PLANES = 32
+_BAND_SIZE = 4
+_DIM = 64
+
+_DUCK_PLANES = f"""
+    planes AS (
+      SELECT j.j, list_transform(generate_series(0, {_DIM - 1}),
+        d -> CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+             / 4294967296.0 - 0.5) AS w
+      FROM (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) j
+    )
+"""
+
+_DUCK_COS = (
+    "list_dot_product(qv.emb, cv.emb) / "
+    "(sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(cv.emb, cv.emb)))"
+)
+
+
+@register(
+    "v3_ann_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_DUCK_PLANES},
+    bits AS (
+      SELECT v.vec_id, p.j,
+             CASE WHEN {rnd_sql('list_dot_product(v.emb, p.w)', 9)} >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes p
+    ),
+    sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS s FROM bits GROUP BY vec_id),
+    bands AS (
+      SELECT vec_id, b.b AS band_id, substr(s, b.b * {_BAND_SIZE} + 1, {_BAND_SIZE}) AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES // _BAND_SIZE - 1})) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id, {_DUCK_COS} AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('cos', 6)} DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, {rnd_sql('cos', 4)} AS cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def v3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _corpus_and_queries(spark, sf_dir)
+    out = sim.lsh_ann_topk(
+        emb, q, spark, k=_TOP_K,
+        n_planes=_N_PLANES, band_size=_BAND_SIZE, dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# V4 — IVF ANN top-k: deterministic coarse quantizer (seeds = 16 lowest
+# vec_ids, 2 Lloyd steps), probe the 4 nearest lists, exact cosine inside.
+# Fully oracle-replayed, including both k-means iterations.
+# ---------------------------------------------------------------------------
+_N_LISTS = 16
+_N_PROBE = 4
+
+_D2 = "list_sum(list_transform(generate_series(1, {dim}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+
+
+def _duck_assign(name: str, cent: str) -> str:
+    d2 = rnd_sql(_D2.format(dim=_DIM, a="v.emb", b="c.centroid"), 9)
+    return f"""
+    {name} AS (
+      SELECT vec_id, emb, list_id FROM (
+        SELECT v.vec_id, v.emb, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2} ASC, c.list_id ASC) AS rn
+        FROM v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _duck_recompute(name: str, assigned: str, prev: str) -> str:
+    return f"""
+    {name}_m AS (
+      SELECT list_id, list(m ORDER BY d) AS new_centroid FROM (
+        SELECT a.list_id, dims.d, avg(a.emb[dims.d]) AS m
+        FROM {assigned} a CROSS JOIN dims GROUP BY a.list_id, dims.d
+      ) GROUP BY list_id
+    ),
+    {name} AS (
+      SELECT p.list_id, coalesce(m.new_centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN {name}_m m ON p.list_id = m.list_id
+    )"""
+
+
+@register(
+    "v4_ann_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+             emb AS centroid
+      FROM v ORDER BY vec_id LIMIT {_N_LISTS}
+    ),
+    {_duck_assign('a0', 'c0')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    probes AS (
+      SELECT query_id, qemb, list_id FROM (
+        SELECT v.vec_id AS query_id, v.emb AS qemb, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {rnd_sql(_D2.format(dim=_DIM, a='v.emb', b='c.centroid'), 9)} ASC,
+                          c.list_id ASC) AS rn
+        FROM v CROSS JOIN c2 c WHERE v.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_N_PROBE}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.qemb, a.emb)
+               / (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+      FROM probes p JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('cos', 6)} DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, {rnd_sql('cos', 4)} AS cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def v4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _corpus_and_queries(spark, sf_dir)
+    out = sim.ivf_ann_topk(
+        emb, q, k=_TOP_K, n_lists=_N_LISTS, n_probe=_N_PROBE, n_iter=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# V5 — embedding-cosine near-duplicate pairs (exact; the LSH/IVF candidate
+# generators above are the scale path for the same predicate).
+# ---------------------------------------------------------------------------
+_NEAR_DUP_COS = 0.45
+
+
+@register(
+    "v5_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {rnd_sql('cos', 4)} AS cosine
+    FROM p WHERE {rnd_sql('cos', 6)} >= {_NEAR_DUP_COS}
+    """,
+)
+def v5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    return sim.cosine_near_dup_pairs(emb, "vec_id", "emb", threshold=_NEAR_DUP_COS)
