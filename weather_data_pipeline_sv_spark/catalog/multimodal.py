@@ -1,0 +1,121 @@
+"""Multimodal binary-column operators, oracle-checked through text payloads.
+
+The real multimodal surface (``operators/multimodal.py``) works on opaque
+``binary`` payloads via Arrow-batched ``mapInPandas``. To give the driver an
+oracle for that plumbing, these entries wrap the ``documents`` table as
+media rows (payload = utf-8 bytes of ``text``, verified pure ASCII) so the
+DuckDB side can recompute every byte-level result through ``ascii``/
+``substr`` arithmetic. The values crossing the Arrow boundary — byte
+histograms, frame slices, RMS windows — are therefore hash-compared against
+an independent engine, proving the batch plumbing end to end.
+
+Codec-dependent ops (decode/resize on fake-rgb8 images) have no testdata
+table and are covered in tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd_sql
+from ..operators import multimodal as mm
+from ..sources import load_tables
+from . import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.media_from_documents(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 — media ingest: opaque payload + typed metadata, content-hash column
+# (the payload-identity primitive every multimodal dedup builds on).
+# ---------------------------------------------------------------------------
+@register(
+    "m1_media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id, 'text' AS kind,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           'utf-8' AS codec,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.codec").alias("codec"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — byte-histogram features via mapInPandas (16 buckets, long format).
+# The oracle recomputes the same histogram from ascii codes — an
+# independent-engine check on the Arrow batch path itself.
+# ---------------------------------------------------------------------------
+@register(
+    "m2_byte_histogram",
+    oracle=f"""
+    WITH ch AS (
+      SELECT d.doc_id AS media_id,
+             ascii(substr(d.text, u.i, 1)) // 16 AS bucket,
+             length(d.text) AS total
+      FROM documents d, unnest(generate_series(1, length(d.text))) AS u(i)
+      WHERE length(d.text) > 0
+    )
+    SELECT media_id, CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS n,
+           {rnd_sql('count(*) * 1.0 / any_value(total)', 4)} AS frac
+    FROM ch GROUP BY media_id, bucket
+    """,
+)
+def m2_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.byte_histogram(_media(spark, sf_dir), n_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# M3 — video-style frame sampling: 16-byte frames, every 4th full frame.
+# ---------------------------------------------------------------------------
+@register(
+    "m3_frame_sample",
+    oracle="""
+    SELECT d.doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_id,
+           md5(substr(d.text, f.f * 16 + 1, 16)) AS frame_md5
+    FROM documents d,
+         unnest(generate_series(0, length(d.text) // 16 - 1, 4)) AS f(f)
+    """,
+)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = mm.sample_frames(_media(spark, sf_dir), frame_bytes=16, every=4)
+    return frames.select("media_id", "frame_id", F.md5("frame").alias("frame_md5"))
+
+
+# ---------------------------------------------------------------------------
+# M4 — audio-style windowed RMS: non-overlapping 32-sample windows over the
+# payload bytes (uint8 "pcm"), full windows only. Integer sums of squares
+# are exact in doubles, so numpy-vs-SQL summation order cannot diverge.
+# ---------------------------------------------------------------------------
+@register(
+    "m4_audio_rms",
+    oracle=f"""
+    WITH ch AS (
+      SELECT d.doc_id AS media_id,
+             CAST((u.i - 1) // 32 AS INTEGER) AS window_id,
+             ascii(substr(d.text, u.i, 1)) AS c
+      FROM documents d,
+           unnest(generate_series(1, (length(d.text) // 32) * 32)) AS u(i)
+    )
+    SELECT media_id, window_id,
+           {rnd_sql('sqrt(sum(c * c) / 32.0)', 4)} AS rms
+    FROM ch GROUP BY media_id, window_id
+    """,
+)
+def m4_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.audio_window_rms(_media(spark, sf_dir), window=32)

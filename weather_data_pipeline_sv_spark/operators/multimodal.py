@@ -1,0 +1,292 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+Design (the shape a 100 TB training-data pipeline needs):
+
+- payloads are **opaque bytes** in a ``binary`` column; a typed ``meta``
+  struct carries what the engine must know without decoding (byte count,
+  dims, sample rate, codec tag). Relational ops (filter/join/dedup by
+  payload hash) never touch the bytes beyond hashing.
+- per-payload compute runs as **Arrow-batched ``mapInPandas``** — bytes
+  cross the JVM↔Python boundary once per batch, not per row, and each task
+  processes its partition's batches independently, so the operators scale
+  with partition count.
+- **real codecs are import-gated**: PIL/soundfile/av are not in this
+  container, so format decode raises ``NotImplementedError`` unless the
+  payload uses the deterministic ``fake-*`` codecs (raw bytes with declared
+  dims) that tests and fixtures use. Everything downstream of decode —
+  resize math, frame slicing, byte histograms, windowed RMS — is real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real image codec path (absent in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+META_TYPE = T.StructType(
+    [
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+    ]
+)
+
+FAKE_RGB8 = "fake-rgb8"  # raw W*H*C bytes, row-major
+FAKE_PCM8 = "fake-pcm8"  # raw unsigned 8-bit mono samples
+FAKE_V16 = "fake-v16"  # raw frames of 16 bytes each
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap the text corpus as media rows (payload = utf-8 bytes) — the
+    cheap way to exercise binary plumbing on driver-provided testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "utf-8")).cast("int").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("utf-8").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_bytes(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random byte stream (md5 in counter mode)."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(f"{seed}:{i}".encode()).digest())
+        i += 1
+    return bytes(out[:n])
+
+
+def synthesize_media(
+    spark: SparkSession, n: int, kind: str = "image",
+    width: int = 8, height: int = 8, channels: int = 3,
+    sample_rate: int = 8000, n_samples: int = 256,
+    n_frames: int = 12, frame_bytes: int = 16,
+) -> DataFrame:
+    """Deterministic fake media table (fixtures for the codec-free paths)."""
+    rows: list[tuple[Any, ...]] = []
+    for i in range(n):
+        if kind == "image":
+            nb = width * height * channels
+            payload, codec = _fake_bytes(f"img{i}", nb), FAKE_RGB8
+            meta = (nb, width, height, channels, None, None, codec)
+        elif kind == "audio":
+            payload, codec = _fake_bytes(f"aud{i}", n_samples), FAKE_PCM8
+            meta = (n_samples, None, None, None, sample_rate, None, codec)
+        elif kind == "video":
+            nb = n_frames * frame_bytes
+            payload, codec = _fake_bytes(f"vid{i}", nb), FAKE_V16
+            meta = (nb, None, None, None, None, n_frames, codec)
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, meta) -> "Any":
+    """payload → HxWxC uint8 numpy array. Real formats need PIL (absent
+    here → NotImplementedError); the fake-rgb8 codec is raw bytes."""
+    import numpy as np
+
+    codec = meta["codec"] if isinstance(meta, dict) else meta.codec
+    if codec == FAKE_RGB8:
+        w = meta["width"] if isinstance(meta, dict) else meta.width
+        h = meta["height"] if isinstance(meta, dict) else meta.height
+        c = meta["channels"] if isinstance(meta, dict) else meta.channels
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+    if _HAS_PIL:
+        import io
+
+        return __import__("numpy").asarray(Image.open(io.BytesIO(payload)))
+    raise NotImplementedError(
+        f"codec {codec!r} needs a real image library (PIL not installed)"
+    )
+
+
+_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("frac", T.DoubleType()),
+    ]
+)
+
+
+def byte_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Per-payload byte histogram (bucket = byte // (256/n_buckets)) in long
+    format — the codec-free feature extractor. Arrow-batched; one Python
+    crossing per batch. ``frac`` uses the engine-portable rounding rule."""
+    width = 256 // n_buckets
+
+    def fn(batches: Iterator["Any"]) -> Iterator["Any"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, buckets, ns, fracs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr // width, minlength=n_buckets)
+                total = max(len(arr), 1)
+                for b in range(n_buckets):
+                    if counts[b] == 0:
+                        continue
+                    ids.append(mid)
+                    buckets.append(b)
+                    ns.append(int(counts[b]))
+                    fracs.append(
+                        __import__("math").floor(
+                            counts[b] / total * 10000.0 + 0.5 + 1e-6
+                        )
+                        / 10000.0
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "bucket": buckets, "n": ns, "frac": fracs}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, _HIST_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize. Real math over the decoded array; decode
+    itself needs the fake codec (or PIL when available)."""
+
+    def fn(batches: Iterator["Any"]) -> Iterator["Any"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                img = decode_image(row["payload"], meta)
+                h, w = img.shape[0], img.shape[1]
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                small = img[np.ix_(yi, xi)]
+                m = dict(meta)
+                m.update(
+                    n_bytes=int(small.nbytes), width=out_w, height=out_h
+                )
+                out["media_id"].append(row["media_id"])
+                out["payload"].append(small.tobytes())
+                out["meta"].append(m)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 16, every: int = 4
+) -> DataFrame:
+    """Video frame sampling: slice the payload into fixed-size frames and
+    keep every ``every``-th full frame (frame_id % every == 0). Pure byte
+    math — no codec. One input row fans out to ~n_frames/every rows."""
+
+    def fn(batches: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fids, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_full = len(payload) // frame_bytes
+                for f in range(0, n_full, every):
+                    ids.append(mid)
+                    fids.append(f)
+                    frames.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_id": fids, "frame": frames})
+
+    return df.select("media_id", "payload").mapInPandas(fn, _FRAME_SCHEMA)
+
+
+_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_id", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_window_rms(df: DataFrame, window: int = 32) -> DataFrame:
+    """Windowed RMS over pcm8 samples (non-overlapping full windows) —
+    the audio feature-extraction shape, real numpy math, no codec."""
+
+    def fn(batches: Iterator["Any"]) -> Iterator["Any"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wids, rms = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                n_full = len(arr) // window
+                for wdx in range(n_full):
+                    seg = arr[wdx * window : (wdx + 1) * window]
+                    # sum left-to-right like the SQL oracle's avg
+                    ids.append(mid)
+                    wids.append(wdx)
+                    rms.append(
+                        math.floor(
+                            math.sqrt(float(np.sum(seg * seg)) / window) * 10000.0
+                            + 0.5
+                            + 1e-6
+                        )
+                        / 10000.0
+                    )
+            yield pd.DataFrame({"media_id": ids, "window_id": wids, "rms": rms})
+
+    return df.select("media_id", "payload").mapInPandas(fn, _RMS_SCHEMA)
