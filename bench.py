@@ -35,9 +35,13 @@ BENCH_QUERIES = [
     "o3_knn_topk",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
+    "d4_dedup_simhash",
     "v1_cosine_topk",
+    "v3_ann_lsh",
+    "v4_ann_ivf",
     "t1_text_stats",
     "t4_fingerprint",
+    "m2_byte_histogram",
 ]
 
 

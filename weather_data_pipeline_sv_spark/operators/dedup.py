@@ -13,6 +13,19 @@ Scale design:
   keys; a stop-shingle cap (``max_shingle_df``) bounds worst-case skew the
   same way stop-word removal does
 - verification only runs on candidate pairs, never all O(n²) pairs
+- min/vote aggregations partial-aggregate map-side, so the shuffles carry
+  ~docs x n_hashes combined rows, not tokens x n_hashes
+
+Benchmarked pitfalls (measured at sf0.1, see round-1 history — do NOT
+"optimize" back into these):
+- replacing the exploded minhash/simhash aggregations with higher-order-
+  function folds (transform/aggregate/zip_with accumulators) was 20-100x
+  SLOWER: HOF lambdas evaluate interpreted, outside whole-stage codegen
+- materializing the shingle array through an extra named projection before
+  exploding made Catalyst's projection collapsing inline the split() into
+  the lambda body — re-tokenizing per shingle, O(tokens²) per doc. Keep the
+  two-step shape in ``explode_shingles``: materialize ``__tok`` in one
+  select, explode ``word_shingles(__tok)`` in the next.
 """
 
 from __future__ import annotations
