@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_tables
-from ..functions.rounding import rnd
+from ..functions.rounding import rnd, rnd_sql
 from . import register
 
 
@@ -754,4 +754,50 @@ def a1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("value"), 2).alias("sum_value"),
         rnd(F.min("value"), 4).alias("min_value"),
         rnd(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — gap-based sessionization (gaps-and-islands; 6h gap). The batch twin
+# of streaming/stateful.py::sessionize_stream — tests assert the stateful
+# streaming operator emits exactly these sessions (minus each user's open
+# last session).
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 360 * 60 * 1_000_000
+
+
+@register(
+    "e1_sessionize",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     > CAST({_SESSION_GAP_US} AS BIGINT)
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM w
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, {rnd_sql('sum(value)', 2)} AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import sessionize_batch
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    s = sessionize_batch(ev, gap_minutes=360)
+    return s.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+        rnd(F.col("total_value"), 2).alias("total_value"),
     )
