@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_tables
+from ..functions.geo import haversine_km_sql
 from ..functions.rounding import rnd, rnd_sql
 from . import register
 
@@ -800,4 +801,61 @@ def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         "n_events",
         rnd(F.col("total_value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — grid-bucketed spatial range join (SURVEY.md X4, the 100 TB scale
+# path for J2's ST_DWithin). Deterministic lat/lon synthesized from
+# customer/nation keys; the Spark side goes through the cell-bucketed
+# equi join while the oracle brute-forces the cross join — proving the
+# bucketing prunes nothing.
+# ---------------------------------------------------------------------------
+_GEO_RADIUS_KM = 500.0
+
+
+@register(
+    "j7_grid_spatial_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, (c_custkey % 125) - 62.0 AS lat,
+             ((c_custkey * 7) % 360) - 180.0 AS lon
+      FROM customer
+    ),
+    cents AS (
+      SELECT n_nationkey, (n_nationkey * 5) - 60.0 AS c_lat,
+             (n_nationkey * 14) - 168.0 AS c_lon
+      FROM nation
+    ),
+    matched AS (
+      SELECT n_nationkey, c_custkey,
+             {haversine_km_sql('lat', 'lon', 'c_lat', 'c_lon')} AS distance_km
+      FROM pts CROSS JOIN cents
+    )
+    SELECT n_nationkey, count(*) AS n_points,
+           {rnd_sql('avg(distance_km)', 4)} AS avg_distance_km,
+           {rnd_sql('max(distance_km)', 4)} AS max_distance_km
+    FROM matched WHERE distance_km <= {_GEO_RADIUS_KM}
+    GROUP BY n_nationkey
+    """,
+)
+def j7_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import bucketed_range_join
+
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") % 125) - 62.0).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180.0).cast("double").alias("lon"),
+    )
+    cents = t["nation"].select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 5) - 60.0).cast("double").alias("c_lat"),
+        ((F.col("n_nationkey") * 14) - 168.0).cast("double").alias("c_lon"),
+    )
+    joined = bucketed_range_join(pts, cents, radius_km=_GEO_RADIUS_KM)
+    return joined.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        rnd(F.avg("distance_km"), 4).alias("avg_distance_km"),
+        rnd(F.max("distance_km"), 4).alias("max_distance_km"),
     )
