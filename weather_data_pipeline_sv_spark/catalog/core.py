@@ -859,3 +859,48 @@ def j7_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("distance_km"), 4).alias("avg_distance_km"),
         rnd(F.max("distance_km"), 4).alias("max_distance_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 — salted two-phase aggregation on a pathologically-hot key space
+# (l_returnflag: 3 values — at 100 TB a plain groupBy funnels into 3 final
+# partitions when the input is already partitioned by the key). The oracle
+# is the plain one-shot aggregation: salting must be value-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "a13_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {rnd_sql('sum(l_quantity)', 2)} AS sum_qty,
+           count(*) AS n_rows,
+           {rnd_sql('min(l_extendedprice)', 2)} AS min_price,
+           {rnd_sql('max(l_extendedprice)', 2)} AS max_price,
+           {rnd_sql('avg(l_discount)', 4)} AS avg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "n_rows": ("l_orderkey", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+            "avg_disc": ("l_discount", "avg"),
+        },
+        n_salts=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        rnd(F.col("sum_qty"), 2).alias("sum_qty"),
+        "n_rows",
+        rnd(F.col("min_price"), 2).alias("min_price"),
+        rnd(F.col("max_price"), 2).alias("max_price"),
+        rnd(F.col("avg_disc"), 4).alias("avg_disc"),
+    )
