@@ -398,3 +398,80 @@ def d5_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.drop_near_duplicates(d, "doc_id", pairs).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 — composite document-quality filter (Gopher-style heuristic rules):
+# token-count band, mean token length band, symbol ratio cap, stopword
+# presence. The keep/drop decision every pretraining pipeline applies
+# before dedup; all JVM-side regex/array built-ins.
+# ---------------------------------------------------------------------------
+@register(
+    "t5_quality_filter",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, text, {_DUCK_TOKENS} AS tokens FROM documents
+      WHERE length(text) > 0
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+               / len(tokens) AS mean_tok_len,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) > 0
+               AS has_stopword
+      FROM tk WHERE len(tokens) > 0
+    )
+    SELECT doc_id, n_tokens,
+           floor((mean_tok_len) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS mean_tok_len,
+           floor((symbol_ratio) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS symbol_ratio,
+           has_stopword,
+           (n_tokens BETWEEN 5 AND 5000
+            AND mean_tok_len BETWEEN 2.0 AND 12.0
+            AND symbol_ratio < 0.3
+            AND has_stopword) AS keep
+    FROM m
+    """,
+)
+def t5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf_dir).filter(
+        (F.length("text") > 0) & (F.col("n_tokens") > 0)
+    )
+    total_len = F.expr(
+        "aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    mean_tok_len = total_len.cast("double") / F.col("n_tokens")
+    symbol_ratio = (
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        / F.length("text")
+    )
+    # F.lit patterns reach the Java regex engine directly (no SQL-literal
+    # unescaping) — single backslash, unlike the F.expr paths above
+    has_stopword = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b")
+    ) > 0
+    keep = (
+        F.col("n_tokens").between(5, 5000)
+        & mean_tok_len.between(2.0, 12.0)
+        & (symbol_ratio < 0.3)
+        & has_stopword
+    )
+    return (
+        d.withColumn("mean_tok_len", mean_tok_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("has_stopword", has_stopword)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            rnd(F.col("mean_tok_len"), 4).alias("mean_tok_len"),
+            rnd(F.col("symbol_ratio"), 4).alias("symbol_ratio"),
+            "has_stopword",
+            (
+                F.col("n_tokens").between(5, 5000)
+                & F.col("mean_tok_len").between(2.0, 12.0)
+                & (F.col("symbol_ratio") < 0.3)
+                & F.col("has_stopword")
+            ).alias("keep"),
+        )
+    )

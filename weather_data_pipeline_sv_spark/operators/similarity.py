@@ -174,15 +174,21 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic coarse quantizer: seeds = vectors of the ``n_lists``
     lowest ids, then ``n_iter`` Lloyd steps (empty lists keep their old
-    centroid). Returns (list_id, centroid). Centroid recompute goes through
-    posexplode→(list_id, pos) mean→rebuild: k×dim rows, negligible."""
+    centroid). Returns (list_id, centroid).
+
+    Each iteration's result is MATERIALIZED to the driver and re-literalized
+    (k×dim doubles — tiny, the standard Lloyd-loop shape, same as MLlib
+    KMeans): without this, every downstream consumer would re-execute the
+    whole iteration chain, and iteration i's plan would nest i full corpus
+    scans. Values are bit-identical either way (doubles round-trip exactly).
+    """
+    spark = corpus.sparkSession
     w = Window.orderBy(id_col)
-    seeds = (
+    cent = (
         corpus.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_lists)
         .select((F.col("__rn") - 1).alias("list_id"), F.col(vec_col).alias("centroid"))
     )
-    cent = seeds
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
         means = (
@@ -204,7 +210,13 @@ def ivf_centroids(
                 F.coalesce("new_centroid", "centroid").alias("centroid"),
             )
         )
-    return cent
+    # materialize once after the loop: k×dim doubles round-trip exactly, and
+    # every downstream consumer (corpus assignment, query probes) then sees
+    # a literal instead of re-executing the Lloyd chain per reference
+    return spark.createDataFrame(
+        [(r["list_id"], [float(x) for x in r["centroid"]]) for r in cent.collect()],
+        "list_id long, centroid array<double>",
+    )
 
 
 def ivf_assign(
@@ -212,15 +224,22 @@ def ivf_assign(
     id_col: str = "vec_id", vec_col: str = "emb",
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, vec, list_id). Ties break to the
-    lower list_id on the distance rounded to 9 dp (engine-stable)."""
+    lower list_id on the distance rounded to 9 dp (engine-stable).
+
+    argmin via ``min(struct(distance, list_id))`` — a hash aggregation that
+    partial-aggregates map-side, so the shuffle carries one combined row
+    per vector, NOT the k-replicated cross-join rows a window-rank argmin
+    would move."""
     d = rnd(_sq_l2(F.col(vec_col), F.col("centroid")), 9)
-    w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc("list_id"))
     return (
         corpus.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, "list_id", d.alias("__d"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "list_id")
+        .select(id_col, vec_col, F.struct(d.alias("d"), F.col("list_id").alias("list_id")).alias("__dl"))
+        .groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.min("__dl").alias("__best"),
+        )
+        .select(id_col, vec_col, F.col("__best.list_id").alias("list_id"))
     )
 
 

@@ -93,3 +93,24 @@ def upsert_table(
     # dynamic mode replaces only the partitions present in `merged`
     merged.write.mode("overwrite").partitionBy(_DATE_COL).parquet(path)
     return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+ optionally sorted) managed table — the co-located-join
+    layout (X7). Two tables bucketed on the same keys with the same bucket
+    count join with ZERO shuffle on either side: at 100 TB this removes the
+    dominant cost of repeated fact-to-fact joins (e.g. observations ⨝
+    forecasts per station). Requires saveAsTable (bucketing metadata lives
+    in the catalog, not in plain parquet paths).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
