@@ -904,3 +904,82 @@ def a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("max_price"), 2).alias("max_price"),
         rnd(F.col("avg_disc"), 4).alias("avg_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — as-of (point-in-time) join: each click event picks up the most
+# recent error event at-or-before it per user. Spark re-expression is
+# union + carry-forward window (operators/asof.py) — one shuffle, no
+# theta-join explosion; the oracle is DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "j8_asof_join",
+    oracle="""
+    SELECT l.event_id, l.ts, l.user_id, l.value,
+           r.ts AS ts_asof, r.value AS err_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join(clicks, errors, on="ts", by=["user_id"], right_cols=["err_value"])
+    return out.select(
+        "event_id", "ts", "user_id", "value", "ts_asof", "err_value_asof"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — hourly gap-fill + forward fill (hypertable-style regularization):
+# irregular events → per-user regular hourly series, gaps materialized and
+# forward-filled. Spine via per-key sequence() explode (map-side), fill via
+# one window pass (operators/timeseries.py).
+# ---------------------------------------------------------------------------
+@register(
+    "w3_gap_fill",
+    oracle=f"""
+    WITH lph AS (
+      SELECT user_id, hour, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(hour) AS mn, max(hour) AS mx FROM lph GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, u.h AS hour
+      FROM bounds b, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS u(h)
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour, l.value
+      FROM spine s LEFT JOIN lph l ON s.user_id = l.user_id AND s.hour = l.hour
+    )
+    SELECT user_id, hour,
+           {rnd_sql("last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS value_ff,
+           (value IS NULL) AS is_gap
+    FROM joined
+    """,
+)
+def w3_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_hourly
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = gap_fill_hourly(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "hour", rnd(F.col("value_ff"), 2).alias("value_ff"), "is_gap"
+    )
