@@ -983,3 +983,71 @@ def w3_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "hour", rnd(F.col("value_ff"), 2).alias("value_ff"), "is_gap"
     )
+
+
+# ---------------------------------------------------------------------------
+# A14 — hierarchical rollup cascade (continuous-aggregate / hypertable
+# pattern): daily stats REAGGREGATED from hourly partials (sums add,
+# counts add, min/max nest, avg = total/n). The oracle aggregates the raw
+# rows directly per day — proving the cascade is exact, not approximate
+# (a mean-of-means would fail this check on uneven hours).
+# ---------------------------------------------------------------------------
+@register(
+    "a14_rollup_cascade",
+    oracle=f"""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n,
+           {rnd_sql('sum(value)', 2)} AS total,
+           {rnd_sql('avg(value)', 4)} AS avg_value,
+           {rnd_sql('min(value)', 2)} AS mn,
+           {rnd_sql('max(value)', 2)} AS mx
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def a14_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import hourly_partials, reaggregate
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hourly = hourly_partials(ev, ["user_id"], "ts", "value")
+    daily = reaggregate(hourly, ["user_id"], "hour", "day", "day")
+    return daily.select(
+        "user_id",
+        "day",
+        "n",
+        rnd(F.col("total"), 2).alias("total"),
+        rnd(F.col("total") / F.col("n"), 4).alias("avg_value"),
+        rnd(F.col("mn"), 2).alias("mn"),
+        rnd(F.col("mx"), 2).alias("mx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 — set operations beyond A10's UNION ALL: EXCEPT and INTERSECT
+# (customers with orders vs without, as key sets).
+# ---------------------------------------------------------------------------
+@register(
+    "a15_set_ops",
+    oracle="""
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+    all_cust AS (SELECT c_custkey AS ck FROM customer),
+    no_orders AS (SELECT ck FROM all_cust EXCEPT SELECT ck FROM with_orders),
+    have_orders AS (SELECT ck FROM all_cust INTERSECT SELECT ck FROM with_orders)
+    SELECT 'no_orders' AS grp, count(*) AS n FROM no_orders
+    UNION ALL
+    SELECT 'with_orders' AS grp, count(*) AS n FROM have_orders
+    """,
+)
+def a15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    all_cust = t["customer"].select(F.col("c_custkey").alias("ck"))
+    with_orders = t["orders"].select(F.col("o_custkey").alias("ck")).distinct()
+    no_orders = all_cust.exceptAll(with_orders).distinct()
+    both = all_cust.intersect(with_orders)
+    return (
+        no_orders.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_orders").alias("grp"), "n")
+        .unionByName(
+            both.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("with_orders").alias("grp"), "n")
+        )
+    )

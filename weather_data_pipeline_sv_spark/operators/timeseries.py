@@ -84,3 +84,35 @@ def gap_fill_hourly(
             F.col(value_col).isNull().alias("is_gap"),
         )
     )
+
+
+def hourly_partials(
+    df: DataFrame, keys: list[str], ts_col: str, value_col: str
+) -> DataFrame:
+    """Finest-grain partial aggregates (the continuous-aggregate base):
+    (keys, hour, n, total, mn, mx). Everything downstream reaggregates
+    from these — raw data is touched exactly once however many coarser
+    resolutions exist."""
+    return df.groupBy(*keys, _hour(F.col(ts_col)).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def reaggregate(
+    partials: DataFrame, keys: list[str], bucket_col: str, unit: str,
+    out_col: str,
+) -> DataFrame:
+    """Roll partial aggregates up to a coarser time unit ('day', 'month',
+    ...): sums and counts add, min/max nest, avg recomposes as total/n —
+    the algebraic-decomposition rule that makes hypertable-style cascades
+    exact (a mean of means would be wrong for uneven buckets)."""
+    coarser = F.date_trunc(unit, F.col(bucket_col)).cast("timestamp_ntz")
+    return partials.groupBy(*keys, coarser.alias(out_col)).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
