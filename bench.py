@@ -30,8 +30,13 @@ BENCH_QUERIES = [
     "j1_broadcast_dim_join",
     "j2_idw_range_join",
     "j3_interval_self_join",
+    "j7_grid_spatial_join",
+    "j8_asof_join",
     "w1_lag_jump_check",
     "w2_latest_per_key",
+    "w3_gap_fill",
+    "a14_rollup_cascade",
+    "e1_sessionize",
     "o3_knn_topk",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
