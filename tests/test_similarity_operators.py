@@ -106,3 +106,20 @@ def test_cosine_near_dup_pairs_symmetric_free(corpus):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.4 - 1e-9
+
+
+def test_suggested_params_scale_with_corpus():
+    from weather_data_pipeline_sv_spark.operators.similarity import (
+        suggest_ivf_params,
+        suggest_lsh_params,
+    )
+
+    p_small, b_small = suggest_lsh_params(500)
+    p_big, b_big = suggest_lsh_params(1_000_000)
+    assert b_small == 4 and p_small == 24
+    assert b_big > b_small  # wider bands as the corpus grows
+    assert 2 ** b_big >= 1_000_000 / 50 / 2
+    l_small, _ = suggest_ivf_params(500)
+    l_big, pr_big = suggest_ivf_params(1_000_000)
+    assert l_big == 1000 and pr_big == 125
+    assert l_small < l_big
