@@ -1051,3 +1051,95 @@ def a15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("with_orders").alias("grp"), "n")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — ROLLUP grouping sets (multi-grain totals in one pass: per
+# (returnflag, linestatus), per returnflag, grand total) with GROUPING()
+# markers. One shuffle computes every grain.
+# ---------------------------------------------------------------------------
+@register(
+    "a16_rollup_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n,
+           {rnd_sql('sum(l_quantity)', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a16_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17 — pivot (event_type → columns). The oracle uses conditional
+# aggregation, which is also what Spark's pivot compiles to.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "a17_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def a17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18 — exact percentiles (continuous interpolation): median and p90 per
+# group. Spark `percentile` and DuckDB `quantile_cont` both interpolate
+# linearly on the sorted set.
+# ---------------------------------------------------------------------------
+@register(
+    "a18_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {rnd_sql('quantile_cont(l_extendedprice, 0.5)', 4)} AS median_price,
+           {rnd_sql('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90_price,
+           {rnd_sql('quantile_cont(l_quantity, 0.5)', 4)} AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        rnd(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )
