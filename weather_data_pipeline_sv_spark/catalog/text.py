@@ -475,3 +475,47 @@ def t5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SMP1 — deterministic data mixing + train/val/test split: per-source
+# sampling rates (keep all of src0, half of src1, 20% of src2, 10% of the
+# rest), then a hash-split label. Membership is a pure function of doc_id —
+# reproducible across runs, engines, and repartitionings (no rand()).
+# ---------------------------------------------------------------------------
+from ..operators.sampling import hash_uniform_sql, split_column, stratified_sample  # noqa: E402
+
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+_MIX_DEFAULT = 0.1
+
+
+@register(
+    "smp1_deterministic_mix",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             {hash_uniform_sql('doc_id', 'sample')} AS us,
+             {hash_uniform_sql('doc_id', 'split')} AS up
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source,
+             CASE WHEN up < 0.05 THEN 'test'
+                  WHEN up < 0.10 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM u
+      WHERE us < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.2 ELSE {_MIX_DEFAULT} END)
+    )
+    SELECT source, split, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM kept GROUP BY source, split
+    """,
+)
+def smp1_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    kept = stratified_sample(
+        d, "source", "doc_id", _MIX, default=_MIX_DEFAULT, salt="sample"
+    ).withColumn("split", split_column(F.col("doc_id"), 0.05, 0.05, salt="split"))
+    return kept.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc_id")
+    )
