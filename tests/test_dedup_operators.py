@@ -139,3 +139,33 @@ def test_stop_shingle_cap_drops_hot_shingles(spark):
     assert not dd.jaccard_pairs(
         df, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=3
     ).collect()
+
+
+def test_connected_components_transitive_chain(spark):
+    from weather_data_pipeline_sv_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # chain 1-2-3-4, pair 5-6, isolated 7, 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in connected_components(vertices, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_long_path_converges(spark):
+    from weather_data_pipeline_sv_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 12  # diameter 11 > default rounds needed by small clusters
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in connected_components(vertices, edges).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n

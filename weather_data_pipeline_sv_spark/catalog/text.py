@@ -519,3 +519,51 @@ def smp1_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D6 — near-dup clustering: connected components over the Jaccard >= 0.6
+# pair graph (transitive closure — A~B, B~C => one cluster even when A,C
+# never pair directly). Spark side is iterative min-label propagation
+# (operators/graph.py); the oracle is a DuckDB RECURSIVE CTE walking the
+# same graph. Docs in no pair are singleton clusters of themselves.
+# ---------------------------------------------------------------------------
+@register(
+    "d6_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_DOC_SHINGLES.strip().removeprefix('WITH').strip()},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      pairs AS (
+        SELECT p.doc_a, p.doc_b FROM rawpairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) >= 0.6
+      ),
+      und AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      walk(v, l) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.t, w.l FROM walk w JOIN und e ON e.s = w.v
+      )
+    SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+    FROM walk GROUP BY v
+    """,
+)
+def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return connected_components(
+        d.select("doc_id"), pairs,
+        vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    )
