@@ -36,7 +36,14 @@ def incremental_batch_run(
     previous high-water mark; return (result, new_watermark)."""
     batch = bronze
     if last_watermark is not None:
-        batch = bronze.filter(F.col("timestamp") > F.lit(last_watermark))
+        # never F.lit(datetime): py4j converts naive datetimes to an
+        # INSTANT via the OS timezone, shifting the comparison on any
+        # non-UTC host. An ISO string cast to the column's own type is
+        # timezone-free end to end.
+        wm = F.lit(last_watermark.isoformat(sep=" ")).cast(
+            bronze.schema["timestamp"].dataType
+        )
+        batch = bronze.filter(F.col("timestamp") > wm)
     new_wm = batch.agg(F.max("timestamp")).first()[0] or last_watermark
     return process(batch), new_wm
 
