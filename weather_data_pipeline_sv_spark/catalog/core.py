@@ -1143,3 +1143,30 @@ def a18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         rnd(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — explicit window frames: rolling 4-row mean and running total per
+# user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW / UNBOUNDED PRECEDING).
+# ---------------------------------------------------------------------------
+@register(
+    "w4_rolling_frames",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {rnd_sql('avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)', 4)} AS rolling_avg4,
+           {rnd_sql('sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 2)} AS running_total
+    FROM events
+    """,
+)
+def w4_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        rnd(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("rolling_avg4"),
+        rnd(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
