@@ -1170,3 +1170,60 @@ def w4_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F2 — JSON column processing: extract a typed field from the `props` JSON
+# string (get_json_object — JVM-side JSON path, no UDF) and aggregate it.
+# ---------------------------------------------------------------------------
+@register(
+    "f2_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           {rnd_sql("avg(CAST(json_extract(props, '$.k') AS INTEGER))", 4)} AS avg_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f2_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            rnd(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — string similarity: Levenshtein edit distance between customer name
+# and a normalized variant; both engines implement the same classic DP.
+# ---------------------------------------------------------------------------
+@register(
+    "f3_edit_distance",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, replace(c_name, '0', '')) AS INTEGER) AS d_zero,
+           CAST(levenshtein(c_name, upper(c_name)) AS INTEGER) AS d_case,
+           CAST(levenshtein(c_name, c_mktsegment) AS INTEGER) AS d_segment
+    FROM customer
+    """,
+)
+def f3_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.regexp_replace("c_name", "0", ""))
+        .cast("int").alias("d_zero"),
+        F.levenshtein(F.col("c_name"), F.upper("c_name")).cast("int").alias("d_case"),
+        F.levenshtein(F.col("c_name"), F.col("c_mktsegment")).cast("int").alias("d_segment"),
+    )
