@@ -1227,3 +1227,102 @@ def f3_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("c_name"), F.upper("c_name")).cast("int").alias("d_case"),
         F.levenshtein(F.col("c_name"), F.col("c_mktsegment")).cast("int").alias("d_segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6/S7 — the three ON CONFLICT merge policies (operators/merge.py),
+# oracle-checked: existing = orders not divisible by 3, incoming = a
+# modified copy of the even-keyed orders (new custkey/status, doubled
+# total). Each policy's full merged table is hash-compared.
+# ---------------------------------------------------------------------------
+_DUCK_MERGE_INPUTS = """
+    ex AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    inc AS (
+      SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+             'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str):
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    ex = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    inc = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    return ex, inc
+
+
+def _merge_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        rnd(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "s5_merge_update_wins",
+    oracle=f"""
+    WITH {_DUCK_MERGE_INPUTS}
+    SELECT coalesce(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_custkey ELSE e.o_custkey END AS o_custkey,
+           CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+           {rnd_sql('CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE e.o_totalprice END', 2)} AS total
+    FROM ex e FULL OUTER JOIN inc i ON e.o_orderkey = i.o_orderkey
+    """,
+)
+def s5_merge_update_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_update_wins
+
+    ex, inc = _merge_inputs(spark, sf_dir)
+    return _merge_out(merge_update_wins(ex, inc, ["o_orderkey"]))
+
+
+@register(
+    "s6_merge_first_wins",
+    oracle=f"""
+    WITH {_DUCK_MERGE_INPUTS}
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {rnd_sql('o_totalprice', 2)} AS total
+    FROM ex
+    UNION ALL
+    SELECT i.o_orderkey, i.o_custkey, i.o_orderstatus,
+           {rnd_sql('i.o_totalprice', 2)} AS total
+    FROM inc i LEFT JOIN ex e ON i.o_orderkey = e.o_orderkey
+    WHERE e.o_orderkey IS NULL
+    """,
+)
+def s6_merge_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_first_wins
+
+    ex, inc = _merge_inputs(spark, sf_dir)
+    return _merge_out(merge_first_wins(ex, inc, ["o_orderkey"]))
+
+
+@register(
+    "s7_merge_partial_update",
+    oracle=f"""
+    WITH {_DUCK_MERGE_INPUTS}
+    SELECT coalesce(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_custkey ELSE i.o_custkey END AS o_custkey,
+           CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderstatus ELSE i.o_orderstatus END AS o_orderstatus,
+           {rnd_sql('CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE e.o_totalprice END', 2)} AS total
+    FROM ex e FULL OUTER JOIN inc i ON e.o_orderkey = i.o_orderkey
+    """,
+)
+def s7_merge_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_partial_update
+
+    ex, inc = _merge_inputs(spark, sf_dir)
+    return _merge_out(
+        merge_partial_update(ex, inc, ["o_orderkey"], update_cols=["o_totalprice"])
+    )
