@@ -119,3 +119,67 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m4_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_window_rms(_media(spark, sf_dir), window=32)
+
+
+# ---------------------------------------------------------------------------
+# M5 — multimodal near-dup: the full composition. Arrow-batched byte
+# histograms (m2) -> dense 16-dim feature vectors (map lookup over the
+# bucket range) -> exact cosine pairs (similarity operator). An entire
+# mapInPandas-powered dedup flow, hash-checked against an independent
+# engine end to end.
+# ---------------------------------------------------------------------------
+_NEAR_DUP_T = 0.99995
+
+
+@register(
+    "m5_media_near_dup",
+    oracle=f"""
+    WITH ch AS (
+      SELECT d.doc_id, ascii(substr(d.text, u.i, 1)) // 16 AS bucket,
+             length(d.text) AS total
+      FROM documents d, unnest(generate_series(1, length(d.text))) AS u(i)
+      WHERE length(d.text) > 0
+    ), h AS (
+      SELECT doc_id, bucket,
+             {rnd_sql('count(*) * 1.0 / any_value(total)', 4)} AS frac
+      FROM ch GROUP BY doc_id, bucket
+    ), v AS (
+      SELECT doc_id, list(frac ORDER BY bucket) AS fr,
+             list(bucket ORDER BY bucket) AS bk
+      FROM h GROUP BY doc_id
+    ), dense AS (
+      SELECT doc_id, list_transform(generate_series(0, 15),
+               b -> coalesce(fr[list_position(bk, b)], 0.0)) AS emb
+      FROM v
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM dense a JOIN dense b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {rnd_sql('cos', 4)} AS cosine
+    FROM p WHERE {rnd_sql('cos', 6)} >= {_NEAR_DUP_T}
+    """,
+)
+def m5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    hist = mm.byte_histogram(_media(spark, sf_dir), n_buckets=16)
+    dense = (
+        hist.groupBy("media_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "frac"))
+            ).alias("m")
+        )
+        .select(
+            "media_id",
+            F.expr(
+                "transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0.0d))"
+            ).alias("emb"),
+        )
+    )
+    return sim.cosine_near_dup_pairs(
+        dense, "media_id", "emb", threshold=_NEAR_DUP_T
+    )
