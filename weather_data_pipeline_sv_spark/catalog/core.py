@@ -1326,3 +1326,43 @@ def s7_merge_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_out(
         merge_partial_update(ex, inc, ["o_orderkey"], update_cols=["o_totalprice"])
     )
+
+
+# ---------------------------------------------------------------------------
+# O2 — global top-1 (ORDER BY ... DESC LIMIT 1, weather.py:91-92 shape)
+# with a unique tiebreak for determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "o2_global_top1",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def o2_global_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — plain multi-column sort + limit (ORDER BY postal_code, timestamp
+# shape, schema.sql:350) — TakeOrderedAndProject, no full sort.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_multi_sort",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def o4_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
