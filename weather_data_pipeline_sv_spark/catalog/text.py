@@ -567,3 +567,75 @@ def d6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id"), pairs,
         vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 — winnowing fingerprints (rolling-hash document fingerprinting, the
+# MOSS scheme): hash every character 8-gram, slide a window of 8
+# consecutive k-gram hashes, keep each window's minimum; the distinct
+# minima are the fingerprint set. Guarantees any shared substring of
+# length >= 15 contributes a shared fingerprint. Plan: one explode + one
+# window pass per doc, partial-agg summary.
+# ---------------------------------------------------------------------------
+_KGRAM = 8
+_WINNOW_W = 8
+
+
+@register(
+    "t6_winnow_fingerprint",
+    oracle=f"""
+    WITH kg AS (
+      SELECT d.doc_id, u.i,
+             CAST('0x' || substr(md5(substr(d.text, u.i, {_KGRAM})), 1, 8) AS BIGINT) AS h,
+             length(d.text) - {_KGRAM - 1} AS nk
+      FROM documents d,
+           unnest(generate_series(1, length(d.text) - {_KGRAM - 1})) AS u(i)
+      WHERE length(d.text) >= {_KGRAM}
+    ), wmin AS (
+      SELECT doc_id, i, nk,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM kg
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(sum(DISTINCT fp) AS BIGINT) AS fp_checksum
+    FROM wmin WHERE i <= nk - {_WINNOW_W - 1}
+    GROUP BY doc_id
+    """,
+)
+def t6_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.length("text") >= _KGRAM
+    )
+    kg = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_KGRAM - 1))
+        ).alias("i"),
+        (F.length("text") - (_KGRAM - 1)).alias("nk"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        "nk",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substr(text, i, {_KGRAM})")), 1, 8), 16, 10
+        ).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    return (
+        kg.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("i") <= F.col("nk") - (_WINNOW_W - 1))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.sum_distinct(F.col("fp")).alias("fp_checksum"),
+        )
+    )
