@@ -1366,3 +1366,78 @@ def o4_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# P9 — the serving-API query shape (weather.py:28-51 generic form):
+# equality + range predicates anchored to the data watermark, ordered
+# descending with a limit (covers P3 equality filtering and O1 ordering).
+# ---------------------------------------------------------------------------
+@register(
+    "p9_api_history",
+    oracle="""
+    WITH hi AS (SELECT max(ts) AS h FROM events)
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events, hi
+    WHERE user_id = 42 AND event_type IN ('click', 'view')
+      AND ts >= hi.h - INTERVAL 240 HOUR
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+)
+def p9_api_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    hi = ev.agg(F.max("ts").alias("_h"))
+    return (
+        ev.crossJoin(F.broadcast(hi))
+        .filter(
+            (F.col("user_id") == 42)
+            & F.col("event_type").isin("click", "view")
+            & (F.col("ts") >= F.col("_h") - F.expr("INTERVAL 240 HOURS"))
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — past/future temporal split (observations.py:373-393 generic form):
+# route rows around an anchor timestamp (the data midpoint) and count
+# each side, as the ingest router does with NOW().
+# ---------------------------------------------------------------------------
+@register(
+    "p6_temporal_split",
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS anchor
+      FROM events
+    )
+    SELECT CASE WHEN ts < b.anchor THEN 'past' ELSE 'future' END AS side,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, b GROUP BY 1
+    """,
+)
+def p6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    # integer-micros midpoint, floor division on both engines
+    b = ev.agg(
+        F.expr(
+            "cast(timestamp_micros((unix_micros(cast(min(ts) as timestamp)) "
+            "+ unix_micros(cast(max(ts) as timestamp))) div 2) as timestamp_ntz)"
+        ).alias("anchor")
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("ts") < F.col("anchor"), "past")
+            .otherwise("future")
+            .alias("side"),
+            "user_id",
+        )
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
