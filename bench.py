@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "j1_broadcast_dim_join",
     "j2_idw_range_join",
     "j3_interval_self_join",
+    "c1_shipping_priority",
+    "c3_region_supplier_volume",
+    "c5_large_order_detail",
     "j7_grid_spatial_join",
     "j8_asof_join",
     "w1_lag_jump_check",

@@ -1,0 +1,306 @@
+"""Composite multi-join analytical queries (TPC-H-shaped).
+
+The reference's relational surface is mostly single-join pipelines
+(`aggregation.py:61-153` is its deepest chain: 2 joins + group-by). A
+100 TB engine must also handle the *compositions* users actually write:
+deep multi-way joins, decorrelated EXISTS, scalar-correlated subqueries,
+HAVING-subquery filters, and ranking-window families. Each entry here is
+one such shape over the testdata star schema, oracle-checked like
+everything else.
+
+Physical intent at scale (pinned in tests/test_plan_quality.py for the
+family, spot-checked here via bench):
+- dim tables (region/nation) broadcast; fact-to-fact joins shuffle on the
+  join key with partial aggregation BELOW the join where algebra allows
+- EXISTS / IN (subquery) become left-semi hash joins, never per-row
+  subquery execution
+- correlated scalar subqueries decorrelate into a grouped aggregate +
+  equi join (the classic Neumann unnesting result) — expressed directly
+  in DataFrame form so Catalyst never sees a correlation at all
+- top-k after aggregation is TakeOrderedAndProject (no global sort)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_tables
+from ..functions.rounding import rnd, rnd_sql
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# c1 — shipping-priority top-k (TPC-H Q3 shape): segment-filtered customer
+# dim ⨝ orders ⨝ lineitem, revenue per order, top 10. Two big-side joins on
+# the natural keys; the customer filter prunes before the join (pushdown).
+# ---------------------------------------------------------------------------
+@register(
+    "c1_shipping_priority",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM orders
+    )
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM customer, orders, lineitem, anchor
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < cut
+      AND l_shipdate > cut
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def c1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = t["orders"].agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("cut")
+    )
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        t["orders"]
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("o_orderdate") < F.col("cut"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["lineitem"].alias("l"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("cut"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# c2 — EXISTS decorrelation (TPC-H Q4 shape): priority counts over orders
+# having at least one heavy lineitem. EXISTS = left-semi join; the probe
+# (orders) never duplicates even when many lineitems match.
+# ---------------------------------------------------------------------------
+@register(
+    "c2_exists_priority_count",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(o_orderdate) - INTERVAL 365 DAY AS lo FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders, anchor
+    WHERE o_orderdate >= lo
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def c2_exists_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    lo = t["orders"].agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAYS")).alias("lo")
+    )
+    heavy = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        t["orders"]
+        .crossJoin(F.broadcast(lo))
+        .filter(F.col("o_orderdate") >= F.col("lo"))
+        .join(heavy, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# c3 — deep multi-way join (TPC-H Q5 shape): region→nation→(customer,
+# supplier)→orders→lineitem with the cross-dimension equality
+# c_nationkey = s_nationkey. Join-order pressure: the two dims broadcast;
+# the fact-fact joins shuffle on orderkey/suppkey only.
+# ---------------------------------------------------------------------------
+@register(
+    "c3_region_supplier_volume",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT max(o_orderdate) - INTERVAL 365 DAY AS lo FROM orders
+    )
+    SELECT n_name,
+           {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey,
+      anchor
+    WHERE r_name = 'EUROPE' AND o_orderdate >= lo
+    GROUP BY n_name
+    """,
+)
+def c3_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    lo = t["orders"].agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAYS")).alias("lo")
+    )
+    euro_nations = (
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["orders"]
+        .crossJoin(F.broadcast(lo))
+        .filter(F.col("o_orderdate") >= F.col("lo"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4 — scalar-correlated subquery, decorrelated (TPC-H Q17 shape): lineitems
+# below 0.2× the per-part average quantity. The correlation becomes a
+# grouped aggregate joined back on the key — one extra shuffle instead of a
+# per-row subquery. Comparison is FP-safe: quantities are small integers in
+# doubles, so per-part sums (hence avgs, hence the 0.2× cut) are exact and
+# engine-order-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "c4_small_quantity_revenue",
+    oracle=f"""
+    SELECT {rnd_sql("coalesce(sum(l_extendedprice), 0.0) / 7.0", 2)} AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (
+        SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+      ) ON a_partkey = p_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+    """,
+)
+def c4_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    cuts = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cuts, F.col("a_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            rnd(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c5 — HAVING-subquery membership (TPC-H Q18 shape): orders whose total
+# quantity exceeds a threshold, joined back to customer detail, top 20.
+# The IN (grouped HAVING) subquery is a semi join against an aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "c5_large_order_detail",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           {rnd_sql("max(o_totalprice)", 2)} AS total_price,
+           {rnd_sql("sum(l_quantity)", 2)} AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def c5_large_order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tot"))
+        .filter(F.col("_tot") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+              F.col("o_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            rnd(F.max("o_totalprice"), 2).alias("total_price"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# w5 — ranking-window family: rank / dense_rank / ntile / percent_rank /
+# cume_dist / lead in one window pass (one shuffle on user_id). The
+# reference's only windows are LAG and argmax (SURVEY §2.5); this completes
+# the analytic-function family a serving layer would expose. Ordering
+# carries the unique event_id tiebreaker so ranks are engine-deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "w5_rank_family",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile,
+           {rnd_sql("percent_rank() OVER w", 6)} AS pct_rank,
+           {rnd_sql("cume_dist() OVER w", 6)} AS cdist,
+           lead(event_id) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
