@@ -304,3 +304,83 @@ def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.cume_dist().over(w), 6).alias("cdist"),
         F.lead("event_id").over(w).alias("next_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c6 — left outer join with residual predicate + double aggregation (TPC-H
+# Q13 shape): orders-per-customer distribution INCLUDING zero-order
+# customers. The outer join keeps unmatched probe rows; count(o_orderkey)
+# ignores the nulls they carry. Two shuffles: custkey join, then the tiny
+# c_count regroup.
+# ---------------------------------------------------------------------------
+@register(
+    "c6_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def c6_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# c7 — NOT EXISTS anti join gated by a scalar aggregate (TPC-H Q22 shape):
+# above-average-balance customers who never ordered, summarized per nation.
+# The scalar avg stays in-plan (broadcast 1-row cross join); NOT EXISTS is
+# a left-anti hash join on custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "c7_dormant_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS cut FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           {rnd_sql("sum(c_acctbal)", 2)} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > cut
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def c7_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cut = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("cut"))
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
