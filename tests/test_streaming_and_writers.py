@@ -108,3 +108,70 @@ def test_writers_roundtrip_and_upsert(spark, tmp_path):
     assert got[("S1", H(-1))] == 99.0  # updated
     assert got[("S1", H(-30))] == 1.0  # untouched partition preserved
     assert got[("S2", H(-1))] == 7.0   # inserted
+
+
+def _fcst(sid, issue, target, temp):
+    vals = dict(
+        station_id=sid, forecast_timestamp=issue, target_timestamp=target,
+        temperature=temp, humidity=50, pressure=1013.0, wind_speed=5.0,
+        wind_direction=90, precipitation=0.0, cloud_cover=10,
+        visibility=1000.0, sunshine=10.0, dew_point=4.0,
+        latitude=52.5, longitude=13.4, source="t", _ingest_ts=issue,
+    )
+    return tuple(vals[f.name] for f in schemas.RAW_WEATHER_FORECASTS.fields)
+
+
+def test_stream_stream_accuracy_join(spark, tmp_path):
+    from weather_data_pipeline_sv_spark.streaming.jobs import stream_accuracy_join
+
+    obs_land, fcst_land = str(tmp_path / "obs"), str(tmp_path / "fcst")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [_obs("S1", H(0), 10.0), _obs("S2", H(0), 20.0)],
+        schemas.RAW_WEATHER_OBSERVATIONS,
+    ).write.parquet(obs_land)
+    spark.createDataFrame(
+        [
+            # matches S1@H(0): target inside [H(0), H(1))
+            _fcst("S1", H(-6), H(0), 11.0),
+            _fcst("S1", H(-6), H(0) + dt.timedelta(minutes=30), 12.0),
+            # boundary: target exactly at obs_ts + 1h -> excluded
+            _fcst("S1", H(-6), H(1), 13.0),
+            # wrong station for H(0) obs of S1; matches S2's obs instead
+            _fcst("S2", H(-3), H(0), 22.0),
+        ],
+        schemas.RAW_WEATHER_FORECASTS,
+    ).write.parquet(fcst_land)
+
+    obs_stream = read_observation_stream(
+        spark, obs_land, schemas.RAW_WEATHER_OBSERVATIONS
+    )
+    fcst_stream = read_observation_stream(
+        spark, fcst_land, schemas.RAW_WEATHER_FORECASTS
+    )
+    joined = stream_accuracy_join(obs_stream, fcst_stream)
+    assert joined.isStreaming
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("acc_join")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["station_id"], r["target_ts"]): r
+        for r in spark.sql("SELECT * FROM acc_join").collect()
+    }
+    assert set(rows) == {
+        ("S1", H(0)),
+        ("S1", H(0) + dt.timedelta(minutes=30)),
+        ("S2", H(0)),
+    }
+    assert rows[("S1", H(0))]["temperature_abs_error"] == 1.0
+    assert rows[("S1", H(0) + dt.timedelta(minutes=30))]["temperature_abs_error"] == 2.0
+    assert rows[("S2", H(0))]["temperature_abs_error"] == 2.0
+    assert rows[("S1", H(0))]["lead_time_hours"] == 6.0
+    assert rows[("S2", H(0))]["lead_time_hours"] == 3.0

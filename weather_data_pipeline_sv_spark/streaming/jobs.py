@@ -128,3 +128,65 @@ def stream_to_gold(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_accuracy_join(
+    obs_stream: DataFrame,
+    fcst_stream: DataFrame,
+    obs_watermark: str = "2 hours",
+    fcst_watermark: str = "3 hours",
+    horizon_hours: int = 1,
+) -> DataFrame:
+    """Stream-stream forecast-accuracy join (streaming twin of J3,
+    reference `schema.sql:419-427`): each observation matches forecast rows
+    for the same station whose target time falls within
+    ``[obs_ts, obs_ts + horizon_hours)``.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    the two event-time columns against each other — the two requirements
+    that let Spark drop join state: a buffered forecast can be evicted as
+    soon as the observation watermark passes ``target_ts``, so state is
+    O(rate × watermark horizon), not O(stream length). Without the range
+    condition the state store would grow forever at 100 TB/day rates.
+    """
+    o = (
+        obs_stream.select(
+            F.col("station_id"),
+            F.col("timestamp").cast("timestamp").alias("obs_ts"),
+            F.col("temperature").alias("obs_temperature"),
+        )
+        .withWatermark("obs_ts", obs_watermark)
+    )
+    f = (
+        fcst_stream.select(
+            F.col("station_id").alias("f_station_id"),
+            F.col("forecast_timestamp").cast("timestamp").alias("issue_ts"),
+            F.col("target_timestamp").cast("timestamp").alias("target_ts"),
+            F.col("temperature").alias("fcst_temperature"),
+        )
+        .withWatermark("target_ts", fcst_watermark)
+    )
+    joined = o.join(
+        f,
+        (F.col("station_id") == F.col("f_station_id"))
+        & (F.col("target_ts") >= F.col("obs_ts"))
+        & (
+            F.col("target_ts")
+            < F.col("obs_ts") + F.expr(f"INTERVAL {int(horizon_hours)} HOURS")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "station_id",
+        F.col("obs_ts").cast("timestamp_ntz").alias("obs_ts"),
+        F.col("issue_ts").cast("timestamp_ntz").alias("issue_ts"),
+        F.col("target_ts").cast("timestamp_ntz").alias("target_ts"),
+        "obs_temperature",
+        "fcst_temperature",
+        F.abs(F.col("fcst_temperature") - F.col("obs_temperature")).alias(
+            "temperature_abs_error"
+        ),
+        (
+            (F.unix_timestamp("target_ts") - F.unix_timestamp("issue_ts")) / 3600.0
+        ).alias("lead_time_hours"),
+    )
