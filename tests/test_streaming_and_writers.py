@@ -175,3 +175,43 @@ def test_stream_stream_accuracy_join(spark, tmp_path):
     assert rows[("S2", H(0))]["temperature_abs_error"] == 2.0
     assert rows[("S1", H(0))]["lead_time_hours"] == 6.0
     assert rows[("S2", H(0))]["lead_time_hours"] == 3.0
+
+
+def test_compact_table(spark, tmp_path):
+    from weather_data_pipeline_sv_spark.sources.writers import (
+        compact_table,
+        table_file_stats,
+        table_path,
+    )
+
+    root = str(tmp_path / "lake")
+    rows = [
+        _obs(f"S{i % 5}", H(-i % 48) + dt.timedelta(minutes=i % 60), float(i))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, schemas.RAW_WEATHER_OBSERVATIONS)
+    # simulate micro-batch fragmentation: many tiny files per date partition
+    write_table(
+        df.repartition(64), root, "bronze", "raw_weather_observations",
+        partition_by_date_of="timestamp",
+    )
+    path = table_path(root, "bronze", "raw_weather_observations")
+    before = table_file_stats(spark, path)
+    assert before["n_files"] > 60
+
+    stats = compact_table(
+        spark, root, "bronze", "raw_weather_observations",
+        target_file_bytes=1024 * 1024 * 1024,
+        sort_cols=["station_id", "timestamp"],
+    )
+    assert stats["after"]["n_files"] < before["n_files"] / 10
+    # content unchanged (row multiset) and date partitioning preserved
+    back = read_table(spark, root, "bronze", "raw_weather_observations")
+    assert back.count() == 2000
+    assert sorted(
+        (r["station_id"], r["timestamp"], r["temperature"])
+        for r in back.collect()
+    ) == sorted((r[0], r[1], r[2]) for r in rows)
+    import os as _os
+
+    assert any(d.startswith("__part_date=") for d in _os.listdir(path))

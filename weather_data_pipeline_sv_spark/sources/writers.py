@@ -114,3 +114,71 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def table_file_stats(spark: SparkSession, path: str) -> dict:
+    """Files/bytes audit of a parquet table via the Hadoop FileSystem API
+    (works identically on local paths, HDFS, and object stores): the input
+    to any compaction decision."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n_files, n_bytes = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            n_files += 1
+            n_bytes += f.getLen()
+    return {"n_files": n_files, "n_bytes": n_bytes}
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    layer: str,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Small-file compaction for a (possibly date-partitioned) parquet table.
+
+    Incremental upserts and streaming micro-batches fragment a table into
+    files far below the size where scan parallelism is efficient; at 100 TB
+    the file-listing and per-file open cost alone dominates a scan of a
+    badly fragmented table. This rewrites the table into
+    ``ceil(bytes / target_file_bytes)`` range-partitioned output slices —
+    range partitioning on (date, sort keys) keeps each output file covering
+    a contiguous key range, so min/max row-group pruning stays sharp after
+    the rewrite (the plain-parquet stand-in for Delta's OPTIMIZE).
+
+    Returns ``{"before": stats, "after": stats}``.
+    """
+    path = table_path(root, layer, table)
+    before = table_file_stats(spark, path)
+    df = spark.read.parquet(path)
+    n_out = max(1, -(-before["n_bytes"] // int(target_file_bytes)))
+    range_cols = []
+    if _DATE_COL in df.columns:
+        range_cols.append(_DATE_COL)
+    range_cols += [c for c in (sort_cols or []) if c in df.columns]
+    compacted = (
+        df.repartitionByRange(n_out, *[F.col(c) for c in range_cols])
+        if range_cols
+        else df.repartition(n_out)
+    )
+    staging = f"{path}.compacting"
+    if _DATE_COL in df.columns:
+        compacted.write.mode("overwrite").partitionBy(_DATE_COL).parquet(staging)
+    else:
+        compacted.write.mode("overwrite").parquet(staging)
+    # swap via the same FS API (atomic-rename pattern of X12)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
+    after = table_file_stats(spark, path)
+    return {"before": before, "after": after}
