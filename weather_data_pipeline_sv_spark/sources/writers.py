@@ -182,3 +182,32 @@ def compact_table(
     fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
     after = table_file_stats(spark, path)
     return {"before": before, "after": after}
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[tuple[str, float, float]],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered on a Z-order (Morton) key over ``dims``
+    (``(column, lo, hi)`` triples) — multi-dimensional file clustering so
+    min/max footer stats prune files/row groups for predicates on ANY of
+    the dimensions, not just the first sort column. Plain-parquet analogue
+    of Delta's OPTIMIZE ZORDER BY; the scale use here is the station/point
+    tables feeding bbox filters (P8) and the grid spatial join (X4).
+    """
+    from ..functions.zorder import quantize, zorder_key
+
+    z = zorder_key(
+        [quantize(F.col(c), lo, hi, bits) for c, lo, hi in dims], bits
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
