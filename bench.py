@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "v3_ann_lsh",
     "v4_ann_ivf",
     "t1_text_stats",
+    "t7_term_frequency",
     "t4_fingerprint",
     "m2_byte_histogram",
 ]

@@ -1,0 +1,159 @@
+"""Surface-rounding entries: collection aggregates, the datetime function
+family, the raw ``spark.sql`` API, and corpus vocabulary extraction.
+
+These close the remaining gaps a reference user would hit day-one that no
+§2 row names explicitly: grouped array building (PostgreSQL users reach
+for array_agg constantly), calendar-field extraction beyond
+DATE_TRUNC('hour') (`aggregation.py:116` is the reference's only calendar
+op), querying through SQL text instead of the DataFrame builder, and
+term-frequency/vocabulary extraction over `documents` (the first step of
+every tokenizer-training / TF-IDF pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_tables
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# a19 — grouped collection aggregate: per-user sorted distinct event types.
+# collect_set is a partial-aggregating hash agg (map-side combine), so the
+# shuffle carries one partially-built set per (user × map partition) — at
+# scale bounded by the value domain (event types), not the row count.
+# ---------------------------------------------------------------------------
+@register(
+    "a19_grouped_array_agg",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a19_grouped_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# f4 — calendar/datetime function family: field extraction, interval
+# arithmetic, month bucketing, month-end. All JVM built-ins inside
+# whole-stage codegen. Engine quirk handled explicitly: Spark's dayofweek
+# is 1-based Sunday, DuckDB's 0-based Sunday — normalized to 0=Sunday.
+# ---------------------------------------------------------------------------
+@register(
+    "f4_datetime_family",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS hr, minute(ts) AS mi,
+           dayofyear(ts) AS doy,
+           dayofweek(ts) AS dow,
+           ts + INTERVAL 7 DAY AS next_week,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           last_day(ts) AS month_end
+    FROM events
+    """,
+)
+def f4_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("hr"),
+        F.minute(ts).alias("mi"),
+        F.dayofyear(ts).alias("doy"),
+        (F.dayofweek(ts) - 1).alias("dow"),
+        (ts + F.expr("INTERVAL 7 DAYS")).alias("next_week"),
+        F.date_trunc("month", ts).cast("date").alias("month_start"),
+        F.last_day(ts).alias("month_end"),
+    )
+
+
+# Dialect-portable SQL: runs verbatim on Spark SQL and DuckDB, so the oracle
+# string IS the implementation — proving the engine's SQL text surface, not
+# just the DataFrame builder. Rounding is spelled with an explicit
+# CAST(... AS DOUBLE): Spark SQL parses the bare literal `100.0` as
+# DECIMAL, which would silently turn bigint/100.0 into a Decimal column
+# (DuckDB keeps doubles) — the cast pins both engines to IEEE doubles.
+
+
+def _rnd_shared(expr: str, n: int) -> str:
+    f = 10**n
+    return (
+        f"CAST(floor(({expr}) * {f}.0 + 0.5 + 1e-6) AS DOUBLE) / CAST({f} AS DOUBLE)"
+    )
+
+
+_SQL1 = f"""
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           {_rnd_shared("sum(total_spend)", 2)} AS nation_spend,
+           {_rnd_shared("max(total_spend)", 2)} AS top_customer_spend
+    FROM customer LEFT JOIN spend ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+@register("sql1_sql_text_api", oracle=_SQL1)
+def sql1_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_SQL1)
+
+
+# ---------------------------------------------------------------------------
+# t7 — vocabulary extraction: top-20 terms per language by document
+# frequency. explode(array_distinct(split)) counts each term once per doc;
+# the group-by partial-aggregates on (lang, term) so the shuffle carries
+# combined counts, and the per-lang top-k is one window shuffle on lang.
+# First step of tokenizer training / TF-IDF / stopword discovery at corpus
+# scale.
+# ---------------------------------------------------------------------------
+@register(
+    "t7_term_frequency",
+    oracle=r"""
+    WITH terms AS (
+      SELECT lang,
+             unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS term
+      FROM documents
+    ), doc_freq AS (
+      SELECT lang, term, count(*) AS doc_freq
+      FROM terms WHERE term <> '' GROUP BY lang, term
+    )
+    SELECT lang, term, doc_freq FROM (
+      SELECT lang, term, doc_freq,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rn
+      FROM doc_freq
+    ) WHERE rn <= 20
+    """,
+)
+def t7_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    terms = docs.select(
+        "lang",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), "term")
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "term", "doc_freq")
+    )
