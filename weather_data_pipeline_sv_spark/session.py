@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python Data Sources (sources/brightsky_datasource.py) consume
+        # pushed filters for partition pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # dims here are tiny (<=~1000 rows); broadcast generously
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # merge-by-key writers overwrite only touched date partitions
