@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "t7_term_frequency",
     "t4_fingerprint",
     "m2_byte_histogram",
+    "pipe1_training_data_pipeline",
 ]
 
 

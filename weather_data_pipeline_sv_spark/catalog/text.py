@@ -639,3 +639,122 @@ def t6_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum_distinct(F.col("fp")).alias("fp_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE1 — the full training-data pipeline as ONE proof: quality filter
+# (t5 rules) → exact dedup (md5 keep-min-id) → near-dup removal (shingle
+# Jaccard ≥ 0.6 greedy, d5 semantics) → deterministic train/val/test split
+# (smp1 hash) → per-(lang, split) corpus stats. Every stage is the
+# already-verified operator; this entry proves they COMPOSE — the filtered
+# set feeds the dedup, the deduped set feeds the split — with one DuckDB
+# oracle replaying the whole chain. Shuffle inventory at scale: one window
+# on md5(text) (exact dedup), the shingle/band joins of the near-dup stage
+# on the FILTERED corpus only (quality filtering first shrinks the
+# expensive stage's input — the ordering every production pipeline uses),
+# and a tiny final group-by.
+# ---------------------------------------------------------------------------
+from ..operators.sampling import split_column as _split_column  # noqa: E402
+
+
+@register(
+    "pipe1_training_data_pipeline",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tokens FROM documents
+      WHERE length(text) > 0
+    ), m AS (
+      SELECT doc_id, lang, text, tokens, len(tokens) AS n_tokens,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+               / len(tokens) AS mean_tok_len,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) > 0
+               AS has_stopword
+      FROM tk WHERE len(tokens) > 0
+    ), kept AS (
+      SELECT doc_id, lang, text, tokens, n_tokens FROM m
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND symbol_ratio < 0.3 AND has_stopword
+    ), uniq AS (
+      SELECT doc_id, lang, tokens, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+      FROM uniq WHERE len(tokens) >= 3
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), losers AS (
+      SELECT DISTINCT p.doc_b
+      FROM pairs p
+      JOIN counts ca ON p.doc_a = ca.doc_id
+      JOIN counts cb ON p.doc_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) >= 0.6
+    ), final AS (
+      SELECT u.doc_id, u.lang, u.n_tokens,
+             {hash_uniform_sql('u.doc_id', 'split')} AS up
+      FROM uniq u LEFT JOIN losers l ON u.doc_id = l.doc_b
+      WHERE l.doc_b IS NULL
+    )
+    SELECT lang,
+           CASE WHEN up < 0.05 THEN 'test'
+                WHEN up < 0.10 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM final
+    GROUP BY lang, split
+    """,
+)
+def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf_dir).filter(
+        (F.length("text") > 0) & (F.col("n_tokens") > 0)
+    )
+    # stage 1 — quality filter (t5's exact rules)
+    total_len = F.expr(
+        "aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    mean_tok_len = total_len.cast("double") / F.col("n_tokens")
+    symbol_ratio = (
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        / F.length("text")
+    )
+    has_stopword = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b")
+    ) > 0
+    kept = d.filter(
+        F.col("n_tokens").between(5, 5000)
+        & mean_tok_len.between(2.0, 12.0)
+        & (symbol_ratio < 0.3)
+        & has_stopword
+    )
+    # stage 2 — exact dedup: keep the lowest doc_id per content hash
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    # stage 3 — near-dup removal among survivors (Jaccard >= 0.6, greedy)
+    pairs = dd.jaccard_pairs(uniq, "doc_id", "text", n=3, threshold=0.6)
+    final = dd.drop_near_duplicates(uniq, "doc_id", pairs)
+    # stage 4 — deterministic split; stage 5 — corpus stats
+    return (
+        final.withColumn("split", _split_column(F.col("doc_id"), 0.05, 0.05))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
