@@ -53,3 +53,61 @@ def test_streaming_dedup_across_batches_and_restarts(spark, tmp_path):
     write([(4, "  ALPHA beta gamma "), (5, "zeta eta")])
     out2 = _run(spark, str(in_dir), ckpt)
     assert [r["doc_id"] for r in out2] == [5]  # 4 deduped via checkpointed state
+
+
+EVT_SCHEMA = "doc_id long, text string, event_ts timestamp"
+
+
+def _run_bounded(spark, in_dir, ckpt, delay="1 hour"):
+    out: list = []
+    stream = (
+        spark.readStream.schema(EVT_SCHEMA).parquet(in_dir)
+        .withColumn("content_hash", F.md5(F.trim(F.lower(F.col("text")))))
+        .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        .withWatermark("event_ts", delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are dropped, but state is EVICTABLE — a duplicate arriving
+    long after the watermark passed its key is treated as new. That
+    re-emission is exactly what proves state is bounded by the horizon
+    (plain dropDuplicates state grows with every distinct key forever —
+    unusable on a 100 TB/day stream)."""
+    import datetime as dt
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2025, 10, 10, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, EVT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    # batch 1: doc + an in-horizon duplicate (10 min later) -> one survivor
+    write([(1, "alpha beta", t0), (2, "ALPHA beta ", t0 + dt.timedelta(minutes=10))])
+    out1 = _run_bounded(spark, str(in_dir), ckpt)
+    assert len(out1) == 1
+
+    # batch 2: watermark advances 10 h past t0 (delay is 1 h), evicting the
+    # hash's state; the same content arriving now is emitted again
+    write([(3, "fresh content", t0 + dt.timedelta(hours=10))])
+    out2 = _run_bounded(spark, str(in_dir), ckpt)
+    assert [r["doc_id"] for r in out2] == [3]
+
+    write([(4, "alpha beta", t0 + dt.timedelta(hours=10, minutes=5))])
+    out3 = _run_bounded(spark, str(in_dir), ckpt)
+    assert [r["doc_id"] for r in out3] == [4]  # re-emitted: state was evicted
