@@ -323,3 +323,66 @@ _NEAR_DUP_COS = 0.45
 def v5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = _corpus_and_queries(spark, sf_dir)
     return sim.cosine_near_dup_pairs(emb, "vec_id", "emb", threshold=_NEAR_DUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# V6 — blocked kNN-graph construction: EVERY vector gets its top-3
+# neighbors, searched within its cluster block (label = the IVF-list
+# stand-in). The kNN graph is the substrate of graph-based dedup,
+# agglomerative clustering, and kNN-descent; unblocked it is O(n²) —
+# blocking bounds pairs at Σ n_block², and the shuffle is one hash
+# exchange on the block id followed by a per-vector window. The exact
+# variant of the same shape is v1 (brute force); the recall/cost trade is
+# the same one v4's IVF probe count tunes.
+# ---------------------------------------------------------------------------
+_KNN_K = 3
+
+
+@register(
+    "v6_knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY floor((cos) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id,
+           floor((cos) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS cosine, rank
+    FROM ranked WHERE rank <= {_KNN_K}
+    """,
+)
+def v6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    other = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("emb").alias("n_emb"),
+    )
+    pairs = emb.join(
+        other,
+        (F.col("label") == F.col("n_label"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select("vec_id", "neighbor_id", cosine(F.col("emb"), F.col("n_emb")).alias("cos"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "neighbor_id", rnd("cos", 4).alias("cosine"), "rank")
+    )
