@@ -258,29 +258,44 @@ def d2_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D3 — MinHash + LSH banding near-dup detection (engine-independent md5
-# hash family), verified with the true shingle Jaccard on candidates.
-# 16 hashes, 4 bands × 4 rows.
+# D3 — MinHash + LSH banding near-dup detection, verified with the true
+# shingle Jaccard on candidates. 16 hashes, 4 bands × 4 rows. Hash family
+# is Kirsch-Mitzenmacher over one md5 per shingle (engine-independent:
+# md5 + bigint arithmetic) — see operators/dedup.py::minhash_signatures
+# for the measured scaling rationale.
 # ---------------------------------------------------------------------------
 _N_HASHES = 16
 _BAND_SIZE = 4
+
+_SIG_COLS = ", ".join(
+    f"min((h1 + {i} * h2) % 4294967296) AS s{i}" for i in range(_N_HASHES)
+)
+_BAND_CASES = " ".join(
+    "WHEN {b} THEN md5(concat_ws('|', {cols}))".format(
+        b=b,
+        cols=", ".join(f"s{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE)),
+    )
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
 
 
 @register(
     "d3_dedup_minhash_lsh",
     oracle=f"""
     {_DUCK_DOC_SHINGLES},
-      seeds AS (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed),
-      sig AS (
-        SELECT sh.doc_id, s.seed,
-               min(md5(CAST(s.seed AS VARCHAR) || ':' || sh.shingle)) AS minhash
-        FROM sh CROSS JOIN seeds s
-        GROUP BY sh.doc_id, s.seed
+      h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+        FROM sh
       ),
+      sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, seed / {_BAND_SIZE} AS band_id,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
-        FROM sig GROUP BY doc_id, seed / {_BAND_SIZE}
+        SELECT doc_id, b.band_id,
+               CASE b.band_id {_BAND_CASES} END AS band_key
+        FROM sig CROSS JOIN (
+          SELECT unnest(generate_series(0, {_N_HASHES // _BAND_SIZE - 1})) AS band_id
+        ) b
       ),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -143,23 +143,38 @@ def _attach_jaccard(inter: DataFrame, counts: DataFrame, threshold: float) -> Da
     )
 
 
+_MINHASH_MOD = 1 << 32
+
+
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 16
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — hash family h_i(s) = md5(i ':' s); md5 is
-    identical in every engine, which keeps the operator oracle-replayable."""
-    return (
-        sh.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        )
-        .withColumn(
-            "minhash",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("minhash").alias("minhash"))
+    """Wide signature: one row per doc, columns ``s0..s{n-1}`` (bigint).
+
+    Hash family is Kirsch-Mitzenmacher: ``h_i(s) = (h1 + i*h2) mod 2^32``
+    with h1/h2 the two 32-bit halves of ONE md5 per shingle — statistically
+    equivalent to n independent hashes for MinHash, and still
+    engine-independent (md5 + integer arithmetic), so the DuckDB oracle
+    replays signatures exactly.
+
+    Why not md5 per (seed, shingle): the seed-exploded form computes
+    n_hashes× the digests and shuffles docs × shingles × n_hashes rows —
+    measured at 200k docs / 12M shingles it spilled and went superlinear
+    (365 s vs 28 s at 66k). This form digests each shingle once and
+    shuffles ONE combined row per doc (map-side min over each s_i), so
+    signature cost scales with the shingle count alone.
+    """
+    d = F.md5(F.col("shingle"))
+    base = sh.select(
+        "doc_id",
+        F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    return base.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % _MINHASH_MOD).alias(f"s{i}")
+            for i in range(n_hashes)
+        ]
     )
 
 
@@ -173,20 +188,18 @@ def minhash_lsh_pairs(
         explode_shingles(df, id_col, text_col, n, max_shingle_df), materialize
     )
     sig = minhash_signatures(sh, n_hashes)
-    bands = (
-        sig.withColumn("band_id", (F.col("seed") / band_size).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
+    band_keys = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda x: x["minhash"],
-                    ),
-                    "|",
+                F.concat_ws(
+                    "|", *[F.col(f"s{b * band_size + r}") for r in range(band_size)]
                 )
-            ).alias("band_key")
-        )
+            )
+            for b in range(n_hashes // band_size)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
     cand = (
         bands.alias("a")
