@@ -95,3 +95,82 @@ def test_state_survives_restart_and_batch_boundary(spark, tmp_path):
     assert s["session_start"] == T0
     assert s["session_end"] == T0 + 20 * MIN
     assert abs(s["total_value"] - 6.0) < 1e-9
+
+
+def test_builtin_session_window_agrees_with_gaps_and_islands(spark, tmp_path):
+    """Spark's native session_window() is the third sessionization form
+    (besides gaps-and-islands batch and applyInPandasWithState streaming).
+    Same gap semantics -> same session boundaries and aggregates; in
+    streaming it gets watermark-driven state eviction for free, making it
+    the preferred form when per-session custom state isn't needed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_sv_spark.streaming.stateful import sessionize_batch
+
+    t0 = dt.datetime(2025, 10, 10, 12, 0, 0)
+    rows = [
+        # u1: two sessions (40-min gap with 30-min threshold)
+        (1, t0, 1, 10.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, 20.0),
+        (3, t0 + dt.timedelta(minutes=50), 1, 30.0),
+        # u2: one session, boundary gap exactly 30 min extends the session
+        (4, t0, 2, 1.0),
+        (5, t0 + dt.timedelta(minutes=29), 2, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    ours = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, ours.collect()))
+
+    # streaming form: same session_window agg with watermarked append
+    # output. Append emits a session only once the watermark (max event
+    # time - delay, updated between batches) passes its end — so closed
+    # sessions surface in FOLLOW-UP runs whose new events advance the
+    # watermark, which is exactly the eviction contract being tested.
+    land = tmp_path / "sess_land"
+    land.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    out: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(str(land))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ev.coalesce(1).write.mode("append").parquet(str(land))
+    run_once()
+    # late events push the watermark past the original sessions' ends
+    for extra_h in (3, 5):
+        spark.createDataFrame(
+            [(100 + extra_h, t0 + dt.timedelta(hours=extra_h), 99, 0.0)],
+            ev.schema,
+        ).coalesce(1).write.mode("append").parquet(str(land))
+        run_once()
+    emitted = sorted((r["user_id"], r["n_events"]) for r in out if r["user_id"] != 99)
+    assert emitted == [(1, 1), (1, 2), (2, 2)]
