@@ -17,7 +17,7 @@ would be engine-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -772,4 +772,81 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 — per-document TF-IDF top terms (keyword extraction / index feature
+# building). tf = term count / doc length; idf = ln(N / df) with N kept
+# in-plan as a broadcast scalar. Shuffles: term explode → (doc, term)
+# partial-agg counts, a broadcast df join (term vocabulary ≪ corpus), and
+# the per-doc ranking window. ln() differs from the oracle's only at ULP
+# level — absorbed by the biased rounding (functions/rounding.py).
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+@register(
+    "t8_tfidf_terms",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), tok AS (
+      SELECT doc_id, len(tokens) AS doc_len, unnest(tokens) AS term
+      FROM tk WHERE len(tokens) > 0
+    ), tf AS (
+      SELECT doc_id, term, doc_len, count(*) AS n FROM tok
+      WHERE term <> '' GROUP BY doc_id, term, doc_len
+    ), n_docs AS (
+      SELECT count(*) AS n_total FROM tk WHERE len(tokens) > 0
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
+      WHERE term <> '' GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.n * 1.0 / tf.doc_len) * ln(n_docs.n_total * 1.0 / df.doc_freq)
+               AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n_docs
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY floor((score) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 DESC,
+                        term ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term,
+           floor((score) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS tfidf, rank
+    FROM ranked WHERE rank <= {_TFIDF_K}
+    """,
+)
+def t8_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    tok = d.select(
+        "doc_id",
+        F.col("n_tokens").alias("doc_len"),
+        F.explode("tokens").alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term", "doc_len").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_total"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("n") * 1.0 / F.col("doc_len"))
+                * F.log(F.col("n_total") * 1.0 / F.col("doc_freq"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(rnd(F.col("score"), 6)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", rnd("score", 4).alias("tfidf"), "rank")
     )
