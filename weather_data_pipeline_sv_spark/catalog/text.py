@@ -9,10 +9,12 @@ regexp_count/md5) — no Python UDFs — so the shingle explosion, the
 minhash map-side, and the band-bucket join all run inside whole-stage
 codegen and scale by partitioning on (shingle|band_key).
 
-MinHash determinism note: hash_i(shingle) = md5(i || ':' || shingle) gives
-engine-independent hash functions (md5 is identical everywhere), so the
-DuckDB oracle can reproduce signatures exactly — Spark's murmur3 `hash()`
-would be engine-specific.
+MinHash determinism note: the Kirsch-Mitzenmacher family
+h_i(shingle) = (h1 + i*h2) mod 2^32, with h1/h2 the halves of one md5,
+is engine-independent (md5 + bigint arithmetic are identical everywhere),
+so the DuckDB oracle reproduces signatures exactly — Spark's murmur3
+`hash()` would be engine-specific. See operators/dedup.py for why one
+digest per shingle (not per seed) is the scale-critical choice.
 """
 
 from __future__ import annotations
