@@ -183,8 +183,22 @@ def ivf_centroids(
     scans. Values are bit-identical either way (doubles round-trip exactly).
     """
     spark = corpus.sparkSession
+
+    def _literalize(df: DataFrame) -> DataFrame:
+        # k×dim doubles round-trip the driver exactly (bit-identical), so
+        # re-literalizing changes nothing numerically
+        return spark.createDataFrame(
+            [(r["list_id"], [float(x) for x in r["centroid"]]) for r in df.collect()],
+            "list_id long, centroid array<double>",
+        )
+
+    # the loop scans the corpus once per iteration (plus once for seeds) and
+    # every scan ends in a driver collect inside this function, so a persist
+    # here is self-contained: materialized on the first action, released
+    # before returning. Same pattern MLlib KMeans uses for its Lloyd loop.
+    corpus = corpus.persist()
     w = Window.orderBy(id_col)
-    cent = (
+    cent = _literalize(
         corpus.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_lists)
         .select((F.col("__rn") - 1).alias("list_id"), F.col(vec_col).alias("centroid"))
@@ -203,20 +217,21 @@ def ivf_centroids(
                 ).alias("new_centroid")
             )
         )
-        cent = (
+        # materialize EVERY iteration: Catalyst has no common-subplan reuse
+        # across joins, so a lazily-nested Lloyd chain re-executes iteration
+        # i-1's full assign inside each place iteration i references it —
+        # near-exponential recomputation in n_iter. A literal per round keeps
+        # each iteration's plan one crossJoin + two aggregations deep (the
+        # standard Lloyd-loop shape, same as MLlib KMeans).
+        cent = _literalize(
             cent.join(means, "list_id", "left")
             .select(
                 "list_id",
                 F.coalesce("new_centroid", "centroid").alias("centroid"),
             )
         )
-    # materialize once after the loop: k×dim doubles round-trip exactly, and
-    # every downstream consumer (corpus assignment, query probes) then sees
-    # a literal instead of re-executing the Lloyd chain per reference
-    return spark.createDataFrame(
-        [(r["list_id"], [float(x) for x in r["centroid"]]) for r in cent.collect()],
-        "list_id long, centroid array<double>",
-    )
+    corpus.unpersist()
+    return cent
 
 
 def ivf_assign(
