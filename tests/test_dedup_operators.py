@@ -169,3 +169,36 @@ def test_connected_components_long_path_converges(spark):
     comp = {r["id"]: r["component"]
             for r in connected_components(vertices, edges).collect()}
     assert set(comp.values()) == {0} and len(comp) == n
+
+
+def test_ngram_decontaminate_flags_overlapping_docs(spark):
+    eval_df = _docs(spark, [(100, BASE)])
+    corpus = _docs(
+        spark,
+        [
+            (1, BASE),  # full overlap -> contamination 1.0
+            (2, "the quick brown fox jumps over something unrelated and new"),
+            (3, "completely different words here entirely unrelated text"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.ngram_decontaminate(
+            corpus, eval_df, "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    assert out[1]["contamination"] == 1.0 and out[1]["is_contaminated"]
+    # doc 2 shares exactly the shingles inside "the quick brown fox jumps
+    # over": 4 of its 8 shingles
+    assert out[2]["n_shingles"] == 8 and out[2]["n_eval_hits"] == 4
+    assert out[2]["is_contaminated"]
+    assert out[3]["n_eval_hits"] == 0 and not out[3]["is_contaminated"]
+
+
+def test_ngram_decontaminate_eval_side_is_broadcast(spark):
+    eval_df = _docs(spark, [(100, BASE)])
+    corpus = _docs(spark, [(1, BASE)])
+    plan = dd.ngram_decontaminate(
+        corpus, eval_df, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -778,6 +778,59 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D7 — benchmark decontamination: per-corpus-doc n-gram overlap against a
+# held-out eval set (the GPT-3/PaLM 13-gram check, 3-gram here so sf0.01
+# has hits). Eval set = every 17th doc_id; corpus = the rest. The eval
+# side collapses to a DISTINCT shingle set and BROADCASTS — the corpus is
+# probed map-side and never shuffled on the shingle key; the only shuffle
+# is the per-doc partial+final aggregation. See
+# operators/dedup.py::ngram_decontaminate for the scale rationale.
+# ---------------------------------------------------------------------------
+_DECON_MOD = 17
+_DECON_THRESH = 0.2
+
+
+@register(
+    "d7_decontaminate",
+    oracle=f"""
+    {_DUCK_DOC_SHINGLES},
+      eval_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0
+      ),
+      agg AS (
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_eval_hits
+        FROM sh c LEFT JOIN eval_sh e ON c.shingle = e.shingle
+        WHERE c.doc_id % {_DECON_MOD} <> 0
+        GROUP BY c.doc_id
+      )
+    SELECT doc_id,
+           CAST(n_shingles AS INTEGER) AS n_shingles,
+           CAST(n_eval_hits AS INTEGER) AS n_eval_hits,
+           floor((n_eval_hits * 1.0 / n_shingles) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS contamination,
+           (n_eval_hits * 1.0 / n_shingles >= {_DECON_THRESH}) AS is_contaminated
+    FROM agg
+    """,
+)
+def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    res = dd.ngram_decontaminate(
+        corpus, eval_df, "doc_id", "text", n=3, threshold=_DECON_THRESH
+    )
+    return res.select(
+        "doc_id",
+        "n_shingles",
+        "n_eval_hits",
+        rnd(F.col("contamination"), 4).alias("contamination"),
+        "is_contaminated",
+    )
+
+
+# ---------------------------------------------------------------------------
 # T8 — per-document TF-IDF top terms (keyword extraction / index feature
 # building). tf = term count / doc length; idf = ln(N / df) with N kept
 # in-plan as a broadcast scalar. Shuffles: term explode → (doc, term)

@@ -322,3 +322,47 @@ def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFr
     doc_b in at least one pair."""
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def ngram_decontaminate(
+    corpus: DataFrame, eval_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: per-corpus-document n-gram overlap with a
+    held-out eval set (the GPT-3/PaLM-style 13-gram check, here n-gram
+    parameterized).
+
+    Returns (doc_id, n_shingles, n_eval_hits, contamination, is_contaminated)
+    for every corpus doc with >= n tokens, where ``contamination`` is the
+    fraction of the doc's distinct shingles that also occur anywhere in the
+    eval set.
+
+    Scale shape: eval sets are small (10^3-10^5 docs) while the corpus is the
+    100 TB side — so the eval side collapses to a DISTINCT shingle set and
+    BROADCASTS, making the probe a map-side hash join against the exploded
+    corpus; the only shuffle is the final per-doc aggregation, which
+    partial-aggregates to one combined row per document. The corpus is never
+    joined against itself and never shuffled on the shingle key.
+    """
+    corp_sh = explode_shingles(corpus, id_col, text_col, n)
+    eval_sh = (
+        explode_shingles(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    frac = F.col("n_eval_hits") / F.col("n_shingles")
+    return (
+        corp_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("int").alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_eval_hits",
+            frac.alias("contamination"),
+            (frac >= threshold).alias("is_contaminated"),
+        )
+    )
