@@ -778,6 +778,100 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T9 — repetition statistics (the Gopher duplicate-n-gram quality family,
+# token-level since the synthetic docs have no line structure):
+# unique-token ratio (map-side pure array math), top-bigram fraction and
+# duplicate-bigram fraction (one shuffle on (doc_id, bigram) with map-side
+# partial aggregation, then a tiny per-doc combine). Bigram occurrences are
+# NOT deduped — repetition is exactly what we're measuring. keep-thresholds
+# sit at the sf0.01 medians so the flag genuinely splits the corpus.
+# All ratio comparisons use the raw doubles (exact int-division on both
+# engines → bitwise identical), rounding only on output columns.
+# ---------------------------------------------------------------------------
+_SPARK_BIGRAMS = (
+    "transform(sequence(1, size(tokens) - 1), "
+    "i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1)))"
+)
+_DUCK_BIGRAMS = (
+    "list_transform(generate_series(1, len(tokens) - 1), "
+    "i -> tokens[i] || ' ' || tokens[i + 1])"
+)
+_UTR_MIN = 0.45
+_TOP_BG_MAX = 0.035
+_DUP_BG_MAX = 0.03
+
+
+@register(
+    "t9_repetition_stats",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), base AS (
+      SELECT doc_id, len(tokens) AS n_tokens,
+             CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
+               AS unique_token_ratio,
+             tokens
+      FROM tk WHERE len(tokens) >= 2
+    ), bg AS (
+      SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bigram FROM base
+    ), c AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+    ), s AS (
+      SELECT doc_id, sum(n) AS total_bg, max(n) AS top_bg,
+             count(*) AS distinct_bg
+      FROM c GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INTEGER) AS n_tokens,
+           floor((b.unique_token_ratio) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS unique_token_ratio,
+           floor((s.top_bg * 1.0 / s.total_bg) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS top_bigram_frac,
+           floor((1.0 - s.distinct_bg * 1.0 / s.total_bg) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS dup_bigram_frac,
+           (b.unique_token_ratio > {_UTR_MIN}
+            AND s.top_bg * 1.0 / s.total_bg < {_TOP_BG_MAX}
+            AND 1.0 - s.distinct_bg * 1.0 / s.total_bg < {_DUP_BG_MAX}) AS keep
+    FROM base b JOIN s USING (doc_id)
+    """,
+)
+def t9_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.size(F.array_distinct("tokens")).cast("double") / F.col("n_tokens")
+            ).alias("unique_token_ratio"),
+            "tokens",
+        )
+    )
+    bg = base.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram"))
+    c = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("n").alias("total_bg"),
+        F.max("n").alias("top_bg"),
+        F.count(F.lit(1)).alias("distinct_bg"),
+    )
+    top_frac = F.col("top_bg") * 1.0 / F.col("total_bg")
+    dup_frac = 1.0 - F.col("distinct_bg") * 1.0 / F.col("total_bg")
+    return base.join(s, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        rnd(F.col("unique_token_ratio"), 4).alias("unique_token_ratio"),
+        rnd(top_frac, 4).alias("top_bigram_frac"),
+        rnd(dup_frac, 4).alias("dup_bigram_frac"),
+        (
+            (F.col("unique_token_ratio") > _UTR_MIN)
+            & (top_frac < _TOP_BG_MAX)
+            & (dup_frac < _DUP_BG_MAX)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # D7 — benchmark decontamination: per-corpus-doc n-gram overlap against a
 # held-out eval set (the GPT-3/PaLM 13-gram check, 3-gram here so sf0.01
 # has hits). Eval set = every 17th doc_id; corpus = the rest. The eval
