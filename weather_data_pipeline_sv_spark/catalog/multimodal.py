@@ -25,8 +25,11 @@ from . import register
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single local file → fan out before the Arrow/mapInPandas stages
+    from ..functions.partitioning import ensure_min_parallelism
+
     return mm.media_from_documents(
-        load_tables(spark, sf_dir, "documents")["documents"]
+        ensure_min_parallelism(load_tables(spark, sf_dir, "documents")["documents"])
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..sources import load_tables
+from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd
 from . import register
 
@@ -44,8 +45,9 @@ _DUCK_SHINGLES = (
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file local read → fan the tokenize/explode consumers out first
     return (
-        load_tables(spark, sf_dir, "documents")["documents"]
+        ensure_min_parallelism(load_tables(spark, sf_dir, "documents")["documents"])
         .withColumn("tokens", F.expr(_SPARK_TOKENS))
         .withColumn("n_tokens", F.size("tokens"))
     )
@@ -624,9 +626,9 @@ _WINNOW_W = 8
 def t6_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_tables(spark, sf_dir, "documents")["documents"].filter(
-        F.length("text") >= _KGRAM
-    )
+    d = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    ).filter(F.length("text") >= _KGRAM)
     kg = d.select(
         "doc_id",
         F.explode(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd, rnd_sql
 from ..operators import similarity as sim
 from ..sources import load_tables
@@ -69,7 +70,9 @@ def cosine(a, b):
     """,
 )
 def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -112,7 +115,9 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v2_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select(
         "label", _as_double(F.col("embedding")).alias("emb")
     )
     nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
@@ -129,7 +134,9 @@ def v2_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str):
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -365,7 +372,9 @@ _KNN_K = 3
     """,
 )
 def v6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
     other = emb.select(

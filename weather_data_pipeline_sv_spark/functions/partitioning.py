@@ -1,0 +1,31 @@
+"""Parallelism guards for fan-out operators.
+
+A corpus read from few parquet files (locally: ONE file per table) enters
+the plan with that few partitions, so a tokenize/explode/mapInPandas
+fan-out — where per-row compute dwarfs per-row bytes — runs on a fraction
+of the cluster. The standard fix is a round-robin repartition *before* the
+fan-out.
+
+The guard is conditional: on a real cluster a 100 TB corpus already scans
+with >= defaultParallelism splits and the repartition (a full shuffle of
+raw text) would be pure waste — so it only fires when the input is
+UNDER-partitioned. AQE cannot do this for us: it only coalesces
+(post-shuffle, downward); it never splits a narrow under-partitioned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism — only when it is under-partitioned, and never for
+    streaming frames (no getNumPartitions there; micro-batch sizing is the
+    trigger's job)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_parallelism
+
 TOKEN_PATTERN = r"\s+"
 
 
@@ -60,7 +62,8 @@ def explode_shingles(
     occur in more than this many docs (stop-shingles → join-skew guard)."""
     tok = tokens(F.col(text_col))
     sh = (
-        df.select(F.col(id_col).alias("doc_id"), tok.alias("__tok"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tok.alias("__tok"))
         .filter(F.size("__tok") >= n)
         .select("doc_id", F.explode(word_shingles(F.col("__tok"), n)).alias("shingle"))
     )
@@ -235,7 +238,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     tok = tokens(F.col(text_col))
     exploded = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("t"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("t"))
         .withColumn("h", F.md5(F.col("t")))
         .withColumn("hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
         .withColumn("lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
