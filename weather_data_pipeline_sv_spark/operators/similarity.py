@@ -168,94 +168,127 @@ def _sq_l2(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
+def _centroid_rows(centroids) -> list[tuple[int, list[float]]]:
+    """Normalize a centroid set to driver-side rows sorted by list_id.
+
+    Accepts either the (list_id, centroid) DataFrame form (public API) or an
+    already-collected list of (list_id, vector) tuples (the internal Lloyd
+    loop). k×dim doubles — tiny; doubles round-trip the driver exactly."""
+    if isinstance(centroids, DataFrame):
+        rows = [
+            (int(r["list_id"]), [float(x) for x in r["centroid"]])
+            for r in centroids.collect()
+        ]
+    else:
+        rows = [(int(i), [float(x) for x in v]) for i, v in centroids]
+    return sorted(rows, key=lambda t: t[0])
+
+
+def _cent_literal(rows: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d_sort_dummy…>> literal of the centroid table, embedded
+    straight into the plan — the broadcast-join of a 16-row build side,
+    without the join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(lid).cast("long").alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for lid, vec in rows
+        ]
+    )
+
+
+def _dist_structs(vec: Column, rows: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d:double, list_id:long>> of rounded squared-L2 distances
+    from ``vec`` to every centroid. Struct order (d, list_id) makes Spark's
+    lexicographic struct comparison exactly the engine-stable tie-break:
+    nearest first, lower list_id on a 9-dp distance tie."""
+    return F.transform(
+        _cent_literal(rows),
+        lambda c: F.struct(
+            rnd(_sq_l2(vec, c["centroid"]), 9).alias("d"),
+            c["list_id"].alias("list_id"),
+        ),
+    )
+
+
+def _ivf_train(
+    corpus: DataFrame, n_lists: int, n_iter: int,
+    id_col: str, vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop, returning driver-side centroid rows. Assumes the
+    caller persisted ``corpus`` (the loop scans it once per iteration plus
+    once for the seeds).
+
+    Each iteration's result lives on the driver and is re-embedded as a plan
+    literal (k×dim doubles — tiny, the standard Lloyd-loop shape, same as
+    MLlib KMeans): without this, every downstream consumer would re-execute
+    the whole iteration chain, and iteration i's plan would nest i full
+    corpus scans. Per iteration this runs ONE corpus-scan job: assignment is
+    a map-side argmin against the literal centroid matrix (no join, no
+    shuffle) and the per-list mean partial-aggregates map-side, so the only
+    shuffle moves k×dim (list, dim, sum, count) rows."""
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    )
+    cent = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+        mrows = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in mrows:
+            means.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
+        # empty lists keep their previous centroid
+        cent = [
+            (
+                lid,
+                [means[lid][d] for d in range(len(old))] if lid in means else old,
+            )
+            for lid, old in cent
+        ]
+    return cent
+
+
 def ivf_centroids(
     corpus: DataFrame, n_lists: int, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "emb",
 ) -> DataFrame:
     """Deterministic coarse quantizer: seeds = vectors of the ``n_lists``
     lowest ids, then ``n_iter`` Lloyd steps (empty lists keep their old
-    centroid). Returns (list_id, centroid).
-
-    Each iteration's result is MATERIALIZED to the driver and re-literalized
-    (k×dim doubles — tiny, the standard Lloyd-loop shape, same as MLlib
-    KMeans): without this, every downstream consumer would re-execute the
-    whole iteration chain, and iteration i's plan would nest i full corpus
-    scans. Values are bit-identical either way (doubles round-trip exactly).
-    """
+    centroid). Returns (list_id, centroid)."""
     spark = corpus.sparkSession
-
-    def _literalize(df: DataFrame) -> DataFrame:
-        # k×dim doubles round-trip the driver exactly (bit-identical), so
-        # re-literalizing changes nothing numerically
-        return spark.createDataFrame(
-            [(r["list_id"], [float(x) for x in r["centroid"]]) for r in df.collect()],
-            "list_id long, centroid array<double>",
-        )
-
-    # the loop scans the corpus once per iteration (plus once for seeds) and
-    # every scan ends in a driver collect inside this function, so a persist
-    # here is self-contained: materialized on the first action, released
-    # before returning. Same pattern MLlib KMeans uses for its Lloyd loop.
+    # self-contained persist: materialized on the first loop action,
+    # released before returning
     corpus = corpus.persist()
-    w = Window.orderBy(id_col)
-    cent = _literalize(
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_lists)
-        .select((F.col("__rn") - 1).alias("list_id"), F.col(vec_col).alias("centroid"))
-    )
-    for _ in range(n_iter):
-        assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-        means = (
-            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_centroid")
-            )
-        )
-        # materialize EVERY iteration: Catalyst has no common-subplan reuse
-        # across joins, so a lazily-nested Lloyd chain re-executes iteration
-        # i-1's full assign inside each place iteration i references it —
-        # near-exponential recomputation in n_iter. A literal per round keeps
-        # each iteration's plan one crossJoin + two aggregations deep (the
-        # standard Lloyd-loop shape, same as MLlib KMeans).
-        cent = _literalize(
-            cent.join(means, "list_id", "left")
-            .select(
-                "list_id",
-                F.coalesce("new_centroid", "centroid").alias("centroid"),
-            )
-        )
-    corpus.unpersist()
-    return cent
+    try:
+        cent = _ivf_train(corpus, n_lists, n_iter, id_col, vec_col)
+    finally:
+        corpus.unpersist()
+    return spark.createDataFrame(cent, "list_id long, centroid array<double>")
 
 
 def ivf_assign(
-    corpus: DataFrame, centroids: DataFrame,
+    corpus: DataFrame, centroids,
     id_col: str = "vec_id", vec_col: str = "emb",
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, vec, list_id). Ties break to the
     lower list_id on the distance rounded to 9 dp (engine-stable).
 
-    argmin via ``min(struct(distance, list_id))`` — a hash aggregation that
-    partial-aggregates map-side, so the shuffle carries one combined row
-    per vector, NOT the k-replicated cross-join rows a window-rank argmin
-    would move."""
-    d = rnd(_sq_l2(F.col(vec_col), F.col("centroid")), 9)
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, F.struct(d.alias("d"), F.col("list_id").alias("list_id")).alias("__dl"))
-        .groupBy(id_col)
-        .agg(
-            F.any_value(F.col(vec_col)).alias(vec_col),
-            F.min("__dl").alias("__best"),
-        )
-        .select(id_col, vec_col, F.col("__best.list_id").alias("list_id"))
-    )
+    Pure map-side: the k-row centroid table is embedded as a plan literal
+    and the argmin is ``array_min`` over (distance, list_id) structs —
+    Spark's lexicographic struct ordering IS the tie-break. No join, no
+    shuffle, no window: at 100 TB this assigns in a single narrow pass over
+    the corpus scan. ``centroids`` may be the (list_id, centroid) DataFrame
+    or a pre-collected [(list_id, vector), …] list."""
+    rows = _centroid_rows(centroids)
+    best = F.array_min(_dist_structs(F.col(vec_col), rows))
+    return corpus.select(id_col, vec_col, best["list_id"].alias("list_id"))
 
 
 def ivf_ann_topk(
@@ -270,19 +303,30 @@ def ivf_ann_topk(
     n_probe/n_lists of the data — the candidate join is an equi-join on
     list_id against a broadcast probe set.
     """
-    cent = ivf_centroids(corpus, n_lists, n_iter, id_col=id_col, vec_col=vec_col)
-    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-    qd = rnd(_sq_l2(F.col(query_vec_col), F.col("centroid")), 9)
-    wq = Window.partitionBy(query_id_col).orderBy(F.asc("__d"), F.asc("list_id"))
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .select(query_id_col, query_vec_col, "list_id", qd.alias("__d"))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, query_vec_col, "list_id")
+    # persist spans training AND the final assign/verify pass — the cache is
+    # left registered because the returned plan still reads it lazily (the
+    # standard MLlib-style tradeoff; a one-shot caller can unpersist after
+    # consuming). At real scale you'd train once and WRITE `assigned`
+    # partitioned/bucketed by list_id instead of re-assigning per query.
+    corpus = corpus.persist()
+    rows = _ivf_train(corpus, n_lists, n_iter, id_col, vec_col)
+    assigned = ivf_assign(corpus, rows, id_col=id_col, vec_col=vec_col)
+    # probe selection is map-side too: sort the (distance, list_id) structs
+    # (lexicographic struct order = nearest first, lower list_id on a tie)
+    # and keep the first n_probe — no crossJoin, no window shuffle.
+    probe_lists = F.transform(
+        F.slice(
+            F.array_sort(_dist_structs(F.col(query_vec_col), rows)), 1, n_probe
+        ),
+        lambda s: s["list_id"],
+    )
+    probes = queries.select(
+        query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id")
     )
     pairs = (
-        probes.join(assigned, "list_id")
+        # the query set is small by construction; broadcasting it makes the
+        # candidate step a map-side hash join against the corpus scan
+        F.broadcast(probes).join(assigned, "list_id")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
