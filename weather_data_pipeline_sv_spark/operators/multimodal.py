@@ -156,25 +156,28 @@ def byte_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            ids, buckets, ns, fracs = [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                counts = np.bincount(arr // width, minlength=n_buckets)
-                total = max(len(arr), 1)
-                for b in range(n_buckets):
-                    if counts[b] == 0:
-                        continue
-                    ids.append(mid)
-                    buckets.append(b)
-                    ns.append(int(counts[b]))
-                    fracs.append(
-                        __import__("math").floor(
-                            counts[b] / total * 10000.0 + 0.5 + 1e-6
-                        )
-                        / 10000.0
-                    )
+            if len(pdf) == 0:
+                continue
+            payloads = list(pdf["payload"])
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            # one flat uint8 view of the whole batch; a segment bincount over
+            # (row, bucket) keys replaces the per-row / per-bucket Python loop
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_of_byte = np.repeat(np.arange(len(payloads)), lens)
+            keys = row_of_byte * n_buckets + flat // width
+            counts = np.bincount(
+                keys, minlength=len(payloads) * n_buckets
+            ).reshape(len(payloads), n_buckets)
+            rows, cols = np.nonzero(counts)
+            n = counts[rows, cols]
+            frac = np.floor(n / lens[rows] * 10000.0 + 0.5 + 1e-6) / 10000.0
             yield pd.DataFrame(
-                {"media_id": ids, "bucket": buckets, "n": ns, "frac": fracs}
+                {
+                    "media_id": pdf["media_id"].to_numpy()[rows],
+                    "bucket": cols,
+                    "n": n,
+                    "frac": frac,
+                }
             )
 
     return df.select("media_id", "payload").mapInPandas(fn, _HIST_SCHEMA)
@@ -199,9 +202,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
         for pdf in batches:
             out = {"media_id": [], "payload": [], "meta": []}
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                img = decode_image(row["payload"], meta)
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_image(payload, meta)
                 h, w = img.shape[0], img.shape[1]
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
@@ -210,7 +214,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 m.update(
                     n_bytes=int(small.nbytes), width=out_w, height=out_h
                 )
-                out["media_id"].append(row["media_id"])
+                out["media_id"].append(mid)
                 out["payload"].append(small.tobytes())
                 out["meta"].append(m)
             yield pd.DataFrame(out)
@@ -264,29 +268,42 @@ def audio_window_rms(df: DataFrame, window: int = 32) -> DataFrame:
     the audio feature-extraction shape, real numpy math, no codec."""
 
     def fn(batches: Iterator["Any"]) -> Iterator["Any"]:
-        import math
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, wids, rms = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-                n_full = len(arr) // window
-                for wdx in range(n_full):
-                    seg = arr[wdx * window : (wdx + 1) * window]
-                    # sum left-to-right like the SQL oracle's avg
-                    ids.append(mid)
-                    wids.append(wdx)
-                    rms.append(
-                        math.floor(
-                            math.sqrt(float(np.sum(seg * seg)) / window) * 10000.0
-                            + 0.5
-                            + 1e-6
-                        )
-                        / 10000.0
-                    )
-            yield pd.DataFrame({"media_id": ids, "window_id": wids, "rms": rms})
+            if len(pdf) == 0:
+                continue
+            payloads = list(pdf["payload"])
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            n_full = lens // window
+            used = n_full * window
+            # gather each payload's full-window prefix into one flat array;
+            # whole windows stay contiguous, so one reshape(-1, window) sums
+            # every window of the batch without a Python loop. uint8² sums
+            # are exact in float64, so vectorized order can't diverge from
+            # the SQL oracle's.
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            starts = np.concatenate(([0], np.cumsum(used)))[:-1]
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            gi = (
+                np.repeat(offsets, used)
+                + np.arange(int(used.sum()))
+                - np.repeat(starts, used)
+            )
+            vals = flat[gi].astype(np.float64)
+            sums = (vals * vals).reshape(-1, window).sum(axis=1)
+            win_starts = np.concatenate(([0], np.cumsum(n_full)))[:-1]
+            wids = np.arange(int(n_full.sum())) - np.repeat(win_starts, n_full)
+            rms = (
+                np.floor(np.sqrt(sums / window) * 10000.0 + 0.5 + 1e-6) / 10000.0
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_full),
+                    "window_id": wids,
+                    "rms": rms,
+                }
+            )
 
     return df.select("media_id", "payload").mapInPandas(fn, _RMS_SCHEMA)
