@@ -242,3 +242,54 @@ def test_nearest_stations_topk(spark):
     assert rows[0]["distance_km"] == 0.0
     all_rows = nearest_stations_all(stations, postal, k=2).collect()
     assert len(all_rows) == 2 and {r["rank"] for r in all_rows} == {1, 2}
+
+
+def test_scd2_history_collapses_and_versions(spark):
+    from weather_data_pipeline_sv_spark.operators.merge import scd2_history
+
+    rows = [
+        # entity 1: A → A (no-op, collapses) → B → A ; same-ts tie at t4
+        (1, 1, "A", 10),
+        (1, 2, "A", 11),
+        (1, 3, "B", 12),
+        (1, 4, "A", 13),
+        (1, 4, "A2", 14),  # higher ord wins the t=4 instant
+        # entity 2: single state, stays current
+        (2, 1, "X", 20),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, state string, ord int")
+    out = scd2_history(df, keys=["k"], state_cols=["state"], ts_col="t",
+                       order_col="ord")
+    got = {
+        (r["k"], r["version"]): (r["state"], r["valid_from"], r["valid_to"],
+                                 r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("A", 1, 3, False),    # t=2 no-op collapsed into v1
+        (1, 2): ("B", 3, 4, False),
+        (1, 3): ("A2", 4, None, True), # ord=14 beat ord=13 at t=4
+        (2, 1): ("X", 1, None, True),
+    }
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from weather_data_pipeline_sv_spark.operators.similarity import (
+        quantization_report, quantize_int8,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector must stay finite
+        (2, [-3.5, 2.0, 1e-9, 0.75]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    q = quantize_int8(df).collect()
+    for r in q:
+        assert all(abs(v) <= 127 for v in r["q"])       # int8 range
+        for orig, deq in zip(rows[r["vec_id"]][1], r["deq"]):
+            assert abs(orig - deq) <= r["q_scale"] / 2 + 1e-12  # ½-step bound
+    rep = {r["vec_id"]: r for r in quantization_report(df).collect()}
+    assert rep[0]["cosine_deq"] > 0.999   # 8-bit keeps direction
+    assert rep[1]["mae"] == 0.0           # zero vector reconstructs exactly

@@ -157,3 +157,62 @@ def t7_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "term", "doc_freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# s8 — SCD2 dimension history: the events change log versioned into
+# validity intervals (valid_from / valid_to / is_current / version).
+# Extends the reference's latest-row-only upsert sinks (S5-S7,
+# observations.py:258-283) with the standard warehouse history answer.
+# Scale shape: windows over (user_id ORDER BY ts) — one hash-partitioned
+# shuffle on the entity key, no joins, no collect.
+# ---------------------------------------------------------------------------
+@register(
+    "s8_scd2_history",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    ch AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM d
+    ),
+    c2 AS (
+      SELECT user_id, ts, event_type FROM ch
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, state, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current, version
+    FROM (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS INTEGER) AS version
+      FROM c2
+    )
+    """,
+)
+def s8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import scd2_history
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = scd2_history(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        keys=["user_id"],
+        state_cols=["event_type"],
+        ts_col="ts",
+        order_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "version",
+    )

@@ -395,3 +395,38 @@ def v6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("vec_id", "neighbor_id", rnd("cos", 4).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# V7 — int8 scalar quantization report: per-vector scale (max|x|/127),
+# mean absolute reconstruction error, and cosine(original, dequantized).
+# The storage/bandwidth lever for ANN at scale (int8 corpus ≈ 4× smaller
+# than float32); q = floor(x/scale + 0.5) is spelled out because engines
+# disagree on negative-half round(), and this formula is bit-portable.
+# ---------------------------------------------------------------------------
+@register(
+    "v7_quantize_int8",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (
+      SELECT vec_id, emb,
+             greatest(list_max(list_transform(emb, x -> abs(x))) / 127.0, 1e-12) AS q_scale
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, emb, q_scale,
+             list_transform(emb, x -> floor(x / q_scale + 0.5) * q_scale) AS deq
+      FROM s
+    )
+    SELECT vec_id,
+           {rnd_sql('q_scale', 6)} AS q_scale,
+           {rnd_sql(f'list_sum(list_transform(generate_series(1, {_DIM}), i -> abs(emb[i] - deq[i]))) / {_DIM}', 6)} AS mae,
+           {rnd_sql('list_dot_product(emb, deq) / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(deq, deq)))', 4)} AS cosine_deq
+    FROM d
+    """,
+)
+def v7_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    return sim.quantization_report(emb, "vec_id", "emb")

@@ -130,3 +130,52 @@ def merge_partial_update(
                 .alias(c)
             )
     return joined.select(*out_cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    state_cols: Sequence[str],
+    ts_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log into versioned
+    validity intervals.
+
+    The reference's upsert sinks (S5-S7) keep only the latest row per key —
+    update-wins history is lost. SCD2 is the standard warehouse answer: one
+    row per (key, state version) with ``valid_from``/``valid_to`` interval,
+    ``is_current`` flag and a monotonically increasing ``version``.
+
+    Semantics:
+    - within one (keys, ts) instant, the row with the highest ``order_col``
+      wins (dedup of same-instant deliveries);
+    - consecutive deliveries with an unchanged state tuple collapse into the
+      earlier interval (no-op updates don't open a new version);
+    - ``valid_to`` = next change's ts, NULL for the open (current) interval.
+
+    Scale shape: everything is windows over (keys ORDER BY ts) — a single
+    hash-partitioned shuffle on the entity key; no joins, no collect.
+    """
+    order_col = order_col or ts_col
+    w_inst = Window.partitionBy(*keys, ts_col).orderBy(F.desc(order_col))
+    w_key = Window.partitionBy(*keys).orderBy(ts_col)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    dedup = (
+        changes.withColumn(_RN, F.row_number().over(w_inst))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+    collapsed = (
+        dedup.withColumn("__prev", F.lag(state).over(w_key))
+        # null-safe: the first row per key (prev NULL) always opens a version
+        .filter(F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(state))
+        .drop("__prev")
+    )
+    return (
+        collapsed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w_key))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn("version", F.row_number().over(w_key).cast("int"))
+        .drop(ts_col)
+    )

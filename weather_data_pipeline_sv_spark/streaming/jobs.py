@@ -190,3 +190,21 @@ def stream_accuracy_join(
             (F.unix_timestamp("target_ts") - F.unix_timestamp("issue_ts")) / 3600.0
         ).alias("lead_time_hours"),
     )
+
+
+def stream_enrich(
+    stream: DataFrame, dim: DataFrame, keys: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each streaming row with
+    dimension attributes (station metadata, user segments, postal regions).
+
+    Stateless — no watermark and no state store: each micro-batch joins
+    against the *current* static frame, so a dimension reload between
+    batches is picked up automatically (slowly-changing dims read from a
+    table path re-resolve per batch). The dim side is explicitly broadcast:
+    at 100 TB/day stream rates the alternative (shuffling every micro-batch
+    on the join key) would dominate the batch interval; broadcasting keeps
+    the join map-side and the stream partitioning untouched. Default LEFT
+    join so stream rows never drop when the dim is late-populated.
+    """
+    return stream.join(F.broadcast(dim), keys, how)
