@@ -384,3 +384,224 @@ def c7_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c8 — cross-nation volume shipping (TPC-H Q7 shape): lineitem ⨝ supplier ⨝
+# orders ⨝ customer with BOTH nation dims broadcast, revenue per
+# (supp_nation, cust_nation, year) for an ordered nation pair in a 2-year
+# window. The fact-fact joins shuffle on l_orderkey; the four dim lookups
+# are map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "c8_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def c8_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders",
+                    "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# c9 — returned-item reporting (TPC-H Q10 shape): revenue lost to returns
+# per customer over one quarter, top 20. Orders date-filter prunes before
+# the lineitem join; nation broadcast; top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "c9_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def c9_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c10 — promotion revenue share (TPC-H Q14 shape): conditional aggregation
+# over one month of shipments with the part dim broadcast. One scan, one
+# broadcast join, a two-branch conditional sum — no shuffle beyond the
+# final 1-row agg.
+# ---------------------------------------------------------------------------
+@register(
+    "c10_promo_share",
+    oracle=f"""
+    SELECT {rnd_sql("100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / sum(l_extendedprice * (1 - l_discount))", 4)} AS promo_share
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def c10_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            rnd(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c11 — disjunctive multi-attribute predicate (TPC-H Q19 shape): an OR of
+# three (brand × quantity-range × size-range) conjuncts across the
+# lineitem ⨝ part join. Catalyst pushes the common l_quantity bounds to
+# the scan and evaluates the residual disjunction after the broadcast join.
+# ---------------------------------------------------------------------------
+@register(
+    "c11_disjunctive_pred",
+    oracle=f"""
+    SELECT {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+    """,
+)
+def c11_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+
+    def arm(brand: str, qlo: int, qhi: int, slo: int, shi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm("Brand#1", 1, 11, 1, 5)
+                | arm("Brand#2", 10, 20, 1, 10)
+                | arm("Brand#3", 20, 30, 1, 15))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# c12 — top supplier by quarterly revenue (TPC-H Q15 shape): grouped
+# revenue per supplier, keep the argmax row(s). The scalar MAX
+# decorrelates into a 1-row broadcast cross join; equality is decided on
+# the 2-dp-rounded revenue so double summation order can't flip
+# membership between engines.
+# ---------------------------------------------------------------------------
+@register(
+    "c12_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, rev
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def c12_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
