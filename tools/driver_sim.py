@@ -50,6 +50,10 @@ def norm(v):
     return v
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+only = os.environ.get("ONLY")
+if only:
+    keep = set(only.split(","))
+    qs = {k: v for k, v in qs.items() if k in keep}
 n_pass = n_fail = n_rows_only = 0
 for name in sorted(qs):
     sdf = qs[name](spark, SF)

@@ -430,3 +430,54 @@ def v7_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "embeddings")["embeddings"]
     ).select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     return sim.quantization_report(emb, "vec_id", "emb")
+
+
+# ---------------------------------------------------------------------------
+# V8 — near-dup pairs through LSH candidates: the SCALE PATH for v5's
+# predicate. Candidates = id_a < id_b sharing >= 1 sign-LSH band (equi-join
+# on (band_id, band_key) — selective keys, never the corpus square); exact
+# cosine verify runs on candidates only. The md5 hyperplanes are
+# engine-independent, so the oracle rebuilds the identical buckets — the
+# approximation itself is oracle-checked, not just the verify arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "v8_near_dup_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_DUCK_PLANES},
+    bits AS (
+      SELECT v.vec_id, p.j,
+             CASE WHEN {rnd_sql('list_dot_product(v.emb, p.w)', 9)} >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes p
+    ),
+    sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS s FROM bits GROUP BY vec_id),
+    bands AS (
+      SELECT vec_id, b.b AS band_id, substr(s, b.b * {_BAND_SIZE} + 1, {_BAND_SIZE}) AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES // _BAND_SIZE - 1})) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT c.id_a, c.id_b,
+             list_dot_product(va.emb, vb.emb)
+               / (sqrt(list_dot_product(va.emb, va.emb))
+                  * sqrt(list_dot_product(vb.emb, vb.emb))) AS cos
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, {rnd_sql('cos', 4)} AS cosine
+    FROM p WHERE {rnd_sql('cos', 6)} >= {_NEAR_DUP_COS}
+    """,
+)
+def v8_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    return sim.cosine_near_dup_pairs_lsh(
+        emb, spark, threshold=_NEAR_DUP_COS,
+        n_planes=_N_PLANES, band_size=_BAND_SIZE, dim=_DIM,
+    )

@@ -103,13 +103,32 @@ def _materialize(sh: DataFrame, enabled: bool) -> DataFrame:
     return sh.localCheckpoint(eager=False) if enabled else sh
 
 
+#: Default stop-shingle cap for the shared-shingle self-join: a shingle
+#: occurring in more than this many documents is dropped before the join.
+#: The join is quadratic INSIDE each shingle bucket (df² pairs per
+#: shingle), so one boilerplate sentence shared by 10^6 docs would emit
+#: 10^12 pairs; capping df bounds the worst bucket at JACCARD_MAX_SHINGLE_DF²
+#: regardless of corpus size — the same reasoning as stop-word removal,
+#: and standard practice in suffix-array/shingle dedup pipelines. Pass
+#: max_shingle_df=None to disable (exact all-shingle semantics).
+JACCARD_MAX_SHINGLE_DF = 1000
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    threshold: float = 0.8, max_shingle_df: int | None = None,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
     materialize: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (shared-shingle join →
-    pair count → |A∪B| via per-doc counts)."""
+    pair count → |A∪B| via per-doc counts).
+
+    The default ``max_shingle_df`` cap makes the naive call safe on a large
+    corpus: hot shingles (df > cap) are excluded from BOTH the join and the
+    per-doc union counts, so the semantics are "Jaccard over non-stop
+    shingles". Near-dup pairs are unaffected in practice — a shingle shared
+    by >1000 documents carries no similarity signal — and the worst-case
+    join fan-out drops from O(max_df²) to O(cap²) per shingle."""
     sh = _materialize(
         explode_shingles(df, id_col, text_col, n, max_shingle_df), materialize
     )

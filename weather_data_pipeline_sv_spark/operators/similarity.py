@@ -31,6 +31,16 @@ from ..functions.rounding import rnd
 
 _TWO32 = 4294967296.0
 
+#: Above this many IVF lists the centroid table is shipped as a broadcast
+#: relation instead of a plan literal. The literal form (`_cent_literal`)
+#: embeds k x dim doubles into the Catalyst plan — unbeatable at k<=16
+#: (no join at all), but at sqrt-N lists (31k lists x 64 dims at 10^9
+#: vectors ~= 2M literal expressions) plan construction and serialization
+#: blow up long before execution. The broadcast form keeps the identical
+#: argmin/array_sort expressions; only the centroid *data* moves out of
+#: the plan into a 1-row broadcast build side.
+IVF_LITERAL_MAX_LISTS = 500
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold dot product of two array<double> columns."""
@@ -199,13 +209,14 @@ def _cent_literal(rows: list[tuple[int, list[float]]]) -> Column:
     )
 
 
-def _dist_structs(vec: Column, rows: list[tuple[int, list[float]]]) -> Column:
+def _dist_structs_over(vec: Column, cents: Column) -> Column:
     """array<struct<d:double, list_id:long>> of rounded squared-L2 distances
-    from ``vec`` to every centroid. Struct order (d, list_id) makes Spark's
-    lexicographic struct comparison exactly the engine-stable tie-break:
-    nearest first, lower list_id on a 9-dp distance tie."""
+    from ``vec`` to every centroid in ``cents`` (an array<struct<list_id,
+    centroid>> column — literal or broadcast-joined). Struct order
+    (d, list_id) makes Spark's lexicographic struct comparison exactly the
+    engine-stable tie-break: nearest first, lower list_id on a 9-dp tie."""
     return F.transform(
-        _cent_literal(rows),
+        cents,
         lambda c: F.struct(
             rnd(_sq_l2(vec, c["centroid"]), 9).alias("d"),
             c["list_id"].alias("list_id"),
@@ -213,9 +224,39 @@ def _dist_structs(vec: Column, rows: list[tuple[int, list[float]]]) -> Column:
     )
 
 
+def _dist_structs(vec: Column, rows: list[tuple[int, list[float]]]) -> Column:
+    return _dist_structs_over(vec, _cent_literal(rows))
+
+
+def _cents_broadcast_df(spark: SparkSession, rows) -> DataFrame:
+    """1-row DataFrame carrying the centroid table as DATA
+    (``__cents: array<struct<list_id, centroid>>``) rather than plan
+    literals. ``df.crossJoin(broadcast(...))`` against it is a map-side
+    BroadcastNestedLoopJoin with a single build row, after which the same
+    argmin/sort expressions as the literal path apply unchanged."""
+    return spark.createDataFrame(
+        [([(lid, vec) for lid, vec in rows],)],
+        "__cents array<struct<list_id: long, centroid: array<double>>>",
+    )
+
+
+def _with_cents(
+    df: DataFrame, rows: list[tuple[int, list[float]]], literal_max_lists: int
+) -> tuple[DataFrame, Column, list[str]]:
+    """Attach the centroid table to ``df`` by whichever strategy fits its
+    size: as a plan-literal column expression (small k — zero join) or as a
+    broadcast 1-row relation (large k — bounded plan). Returns (frame,
+    centroid-array column, helper columns to drop afterwards)."""
+    if len(rows) <= literal_max_lists:
+        return df, _cent_literal(rows), []
+    cents = _cents_broadcast_df(df.sparkSession, rows)
+    return df.crossJoin(F.broadcast(cents)), F.col("__cents"), ["__cents"]
+
+
 def _ivf_train(
     corpus: DataFrame, n_lists: int, n_iter: int,
     id_col: str, vec_col: str,
+    literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd loop, returning driver-side centroid rows. Assumes the
     caller persisted ``corpus`` (the loop scans it once per iteration plus
@@ -234,7 +275,10 @@ def _ivf_train(
     )
     cent = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)]
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(
+            corpus, cent, id_col=id_col, vec_col=vec_col,
+            literal_max_lists=literal_max_lists,
+        )
         mrows = (
             assigned.select("list_id", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("list_id", "pos")
@@ -258,6 +302,7 @@ def _ivf_train(
 def ivf_centroids(
     corpus: DataFrame, n_lists: int, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "emb",
+    literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
 ) -> DataFrame:
     """Deterministic coarse quantizer: seeds = vectors of the ``n_lists``
     lowest ids, then ``n_iter`` Lloyd steps (empty lists keep their old
@@ -267,7 +312,9 @@ def ivf_centroids(
     # released before returning
     corpus = corpus.persist()
     try:
-        cent = _ivf_train(corpus, n_lists, n_iter, id_col, vec_col)
+        cent = _ivf_train(
+            corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
+        )
     finally:
         corpus.unpersist()
     return spark.createDataFrame(cent, "list_id long, centroid array<double>")
@@ -276,19 +323,24 @@ def ivf_centroids(
 def ivf_assign(
     corpus: DataFrame, centroids,
     id_col: str = "vec_id", vec_col: str = "emb",
+    literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, vec, list_id). Ties break to the
     lower list_id on the distance rounded to 9 dp (engine-stable).
 
-    Pure map-side: the k-row centroid table is embedded as a plan literal
-    and the argmin is ``array_min`` over (distance, list_id) structs —
-    Spark's lexicographic struct ordering IS the tie-break. No join, no
-    shuffle, no window: at 100 TB this assigns in a single narrow pass over
-    the corpus scan. ``centroids`` may be the (list_id, centroid) DataFrame
-    or a pre-collected [(list_id, vector), …] list."""
+    Map-side either way: up to ``literal_max_lists`` lists the centroid
+    table is embedded as a plan literal (no join at all); above it the same
+    table ships as a 1-row broadcast relation so the plan stays bounded at
+    sqrt-N lists (see ``IVF_LITERAL_MAX_LISTS``). The argmin is
+    ``array_min`` over (distance, list_id) structs — Spark's lexicographic
+    struct ordering IS the tie-break. No shuffle, no window: at 100 TB this
+    assigns in a single narrow pass over the corpus scan. ``centroids`` may
+    be the (list_id, centroid) DataFrame or a pre-collected
+    [(list_id, vector), …] list."""
     rows = _centroid_rows(centroids)
-    best = F.array_min(_dist_structs(F.col(vec_col), rows))
-    return corpus.select(id_col, vec_col, best["list_id"].alias("list_id"))
+    base, cents, _drop = _with_cents(corpus, rows, literal_max_lists)
+    best = F.array_min(_dist_structs_over(F.col(vec_col), cents))
+    return base.select(id_col, vec_col, best["list_id"].alias("list_id"))
 
 
 def ivf_ann_topk(
@@ -296,6 +348,7 @@ def ivf_ann_topk(
     k: int = 5, n_lists: int = 16, n_probe: int = 4, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "emb",
     query_id_col: str = "query_id", query_vec_col: str = "qemb",
+    literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest lists, exact cosine inside them.
 
@@ -309,18 +362,26 @@ def ivf_ann_topk(
     # consuming). At real scale you'd train once and WRITE `assigned`
     # partitioned/bucketed by list_id instead of re-assigning per query.
     corpus = corpus.persist()
-    rows = _ivf_train(corpus, n_lists, n_iter, id_col, vec_col)
-    assigned = ivf_assign(corpus, rows, id_col=id_col, vec_col=vec_col)
+    rows = _ivf_train(
+        corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
+    )
+    assigned = ivf_assign(
+        corpus, rows, id_col=id_col, vec_col=vec_col,
+        literal_max_lists=literal_max_lists,
+    )
     # probe selection is map-side too: sort the (distance, list_id) structs
     # (lexicographic struct order = nearest first, lower list_id on a tie)
-    # and keep the first n_probe — no crossJoin, no window shuffle.
+    # and keep the first n_probe — no crossJoin on the corpus, no window
+    # shuffle. Large list counts attach the centroid table by broadcast.
+    qbase, qcents, _qdrop = _with_cents(queries, rows, literal_max_lists)
     probe_lists = F.transform(
         F.slice(
-            F.array_sort(_dist_structs(F.col(query_vec_col), rows)), 1, n_probe
+            F.array_sort(_dist_structs_over(F.col(query_vec_col), qcents)),
+            1, n_probe,
         ),
         lambda s: s["list_id"],
     )
-    probes = queries.select(
+    probes = qbase.select(
         query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id")
     )
     pairs = (
@@ -344,20 +405,84 @@ def ivf_ann_topk(
     )
 
 
+#: Exact (quadratic) near-dup refuses corpora above this many rows unless
+#: the caller explicitly opts out — the guard that keeps the O(n²)
+#: correctness baseline from being pointed at a big table by accident.
+NEAR_DUP_EXACT_MAX_ROWS = 200_000
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "emb",
     threshold: float = 0.9,
+    max_rows: int | None = NEAR_DUP_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold, id_a < id_b.
 
-    Quadratic verify — the LSH/IVF candidate generators above are the scale
-    path; this exact form is the correctness baseline and the oracle twin.
+    Quadratic verify — ``cosine_near_dup_pairs_lsh`` below (and the IVF
+    candidate generator) is the scale path; this exact form is the
+    correctness baseline and the oracle twin. Guarded: corpora larger than
+    ``max_rows`` raise instead of silently launching an n² join (pass
+    ``max_rows=None`` to force). The size probe is a bounded action —
+    ``limit(max_rows + 1)`` stops the scan as soon as the ceiling is
+    provably exceeded, so the guard costs one cheap job, not a full count.
     """
+    if max_rows is not None:
+        probed = df.select(id_col).limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs is O(n²) and the corpus exceeds "
+                f"max_rows={max_rows}; use cosine_near_dup_pairs_lsh for "
+                f"the bucketed scale path, or pass max_rows=None to force."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     c = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", c)
+        .filter(rnd(F.col("cos"), 6) >= threshold)
+        .select("id_a", "id_b", rnd("cos", 4).alias("cosine"))
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame, spark: SparkSession,
+    id_col: str = "vec_id", vec_col: str = "emb",
+    threshold: float = 0.9,
+    n_planes: int = 32, band_size: int = 4, dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs through LSH candidate generation — the scale path for
+    the same predicate as ``cosine_near_dup_pairs``.
+
+    Candidates are id_a < id_b pairs sharing at least one sign-LSH band
+    (equi-join on (band_id, band_key) — a shuffle on selective keys, never
+    the corpus square); only candidates get the exact cosine verify. The
+    md5 hyperplanes are engine-independent, so a SQL oracle can rebuild the
+    identical buckets — the approximation itself is oracle-checkable.
+    Recall < 1 by construction: a true pair sharing no band is missed
+    (tunable via n_planes/band_size; see ``suggest_lsh_params``)."""
+    planes = md5_hyperplanes(spark, n_planes, dim)
+    b = lsh_buckets(df, id_col, vec_col, planes, band_size)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", c)
         .filter(rnd(F.col("cos"), 6) >= threshold)
         .select("id_a", "id_b", rnd("cos", 4).alias("cosine"))
