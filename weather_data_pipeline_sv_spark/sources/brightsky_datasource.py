@@ -14,9 +14,17 @@ Network access is not available (and would break determinism), so the
 reader generates the deterministic fixture payload in-process: values are
 md5-derived functions of (station, hour), exactly the shape
 `brightsky_client.normalize` expects. A real deployment would replace
-``_records_for`` with the HTTP GET + retry of `brightsky_client.py:36-69`
-— partition planning, pushdown, schema, and retry placement all stay
+``_records_for`` with the HTTP GET of `brightsky_client.py:36-69` —
+partition planning, pushdown, schema, and retry placement all stay
 identical, which is the point.
+
+Retry: every partition fetch runs through ``sources.retry.retry_call``
+with the reference's tenacity schedule (3 attempts, exponential 2→10 s —
+`brightsky_client.py:31-35`), placed *inside* ``read()`` so it executes on
+the executor: each (station, day) task retries independently, and a
+transient failure re-fetches one partition rather than failing the batch.
+Options ``retry_attempts`` / ``retry_min_wait`` / ``retry_max_wait``
+override the schedule (``retry_min_wait=0`` keeps tests instant).
 """
 
 from __future__ import annotations
@@ -32,6 +40,8 @@ from pyspark.sql.datasource import (
     Filter,
     InputPartition,
 )
+
+from .retry import DEFAULT_ATTEMPTS, DEFAULT_MAX_WAIT, DEFAULT_MIN_WAIT, retry_call
 
 _SCHEMA = (
     "station_id string, timestamp timestamp_ntz, temperature double, "
@@ -76,6 +86,9 @@ class BrightskyFixtureReader(DataSourceReader):
         ]
         self.start = dt.date.fromisoformat(options.get("start_date", "2025-10-01"))
         self.days = int(options.get("days", "7"))
+        self.retry_attempts = int(options.get("retry_attempts", DEFAULT_ATTEMPTS))
+        self.retry_min_wait = float(options.get("retry_min_wait", DEFAULT_MIN_WAIT))
+        self.retry_max_wait = float(options.get("retry_max_wait", DEFAULT_MAX_WAIT))
         self._station_eq: set[str] | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -99,8 +112,24 @@ class BrightskyFixtureReader(DataSourceReader):
             for d in range(self.days)
         ]
 
+    def _fetch(self, partition: _StationDay) -> list[tuple]:
+        """One partition's fetch — the seam a real deployment replaces with
+        the HTTP GET of `brightsky_client.py:36-69`. Materialized to a list
+        so a mid-stream failure is retried whole, never half-consumed."""
+        return list(_records_for(partition))
+
     def read(self, partition: _StationDay) -> Iterator[tuple]:
-        return _records_for(partition)
+        # executor-side retry: this runs inside the task, so each
+        # (station, day) partition retries independently
+        return iter(
+            retry_call(
+                self._fetch,
+                partition,
+                attempts=self.retry_attempts,
+                min_wait=self.retry_min_wait,
+                max_wait=self.retry_max_wait,
+            )
+        )
 
 
 class BrightskyFixtureDataSource(DataSource):
