@@ -72,6 +72,13 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release session state between queries so timings are independent:
+        # cached frames and (crucially) localCheckpoint blocks from the
+        # dedup/persist operators otherwise accumulate in executor storage
+        # and tax later queries (measured: d3 44 s inside a polluted run
+        # vs 17.6 s isolated at the 10x scale dir)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(
