@@ -1,0 +1,60 @@
+"""PII redaction: masking behavior on synthetic fixtures (the shared
+testdata corpus has no PII by construction)."""
+
+from __future__ import annotations
+
+import pytest
+
+from weather_data_pipeline_sv_spark.functions.redact import redact_documents
+
+DOCS = [
+    (0, "contact john.doe+spam@example.co.uk for details"),
+    (1, "server at 192.168.1.254 timed out, retry 10.0.0.7"),
+    (2, "call +49 30 1234 5678 or (030) 555-0199 today"),
+    (3, "mixed: a@b.io then 8.8.8.8 then +1 650-253-0000 done"),
+    (4, "clean text with numbers 12345 and the year 2025 intact"),
+    (5, "not-an-email a@@b..c and version 1.2.3.4.5 stays partial"),
+]
+
+
+@pytest.fixture(scope="module")
+def redacted(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {r["doc_id"]: r for r in redact_documents(df).collect()}
+
+
+def test_email_masked(redacted):
+    r = redacted[0]
+    assert r["text"] == "contact <EMAIL> for details"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 0, 0)
+
+
+def test_ips_masked(redacted):
+    r = redacted[1]
+    assert r["text"] == "server at <IP> timed out, retry <IP>"
+    assert r["n_ips"] == 2
+
+
+def test_phones_masked(redacted):
+    r = redacted[2]
+    assert r["text"] == "call <PHONE> or <PHONE> today"
+    assert r["n_phones"] == 2
+
+
+def test_mixed_order_email_ip_phone(redacted):
+    r = redacted[3]
+    assert r["text"] == "mixed: <EMAIL> then <IP> then <PHONE> done"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+
+
+def test_clean_text_untouched(redacted):
+    r = redacted[4]
+    assert r["text"] == DOCS[4][1]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (0, 0, 0)
+
+
+def test_precision_over_recall(redacted):
+    # malformed email stays; 5-octet dotted string only masks a 4-octet
+    # prefix (conservative patterns, by design)
+    r = redacted[5]
+    assert "<EMAIL>" not in r["text"]

@@ -1001,3 +1001,229 @@ def t8_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "term", rnd("score", 4).alias("tfidf"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# T10 — bigram language-model quality score (the CCNet/KenLM-style filter):
+# train an MLE bigram LM on the corpus itself, then score every document by
+# its mean log-likelihood under that LM. Low scores = improbable token
+# sequences (mojibake, shuffled text, boilerplate soup) — the standard
+# perplexity-bucket signal every pretraining pipeline computes.
+#
+# Scale shape: ONE bigram explode feeds both the LM counts and the scoring
+# join. The LM (bigram -> count) shuffles on the bigram key with map-side
+# partial aggregation; context counts reuse the same aggregate re-grouped
+# by the left token; scoring is an equi-join on bigram (selective key) and
+# a per-doc partial+final avg. The 100 TB variant would threshold the LM
+# to bigrams with count >= K (top-M vocabulary), shrinking the join's
+# build side by orders of magnitude — semantics identical for every
+# surviving bigram.
+# ---------------------------------------------------------------------------
+@register(
+    "t10_bigram_lm_score",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bigram
+      FROM tk WHERE len(tokens) >= 2
+    ), lm AS (
+      SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram
+    ), ctx AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+      FROM lm GROUP BY split_part(bigram, ' ', 1)
+    ), scored AS (
+      SELECT bg.doc_id, ln(lm.c_bg * 1.0 / ctx.c_ctx) AS logp
+      FROM bg
+      JOIN lm USING (bigram)
+      JOIN ctx ON ctx.w1 = split_part(bg.bigram, ' ', 1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((avg(logp)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") >= 2)
+    bg = base.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram"))
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    ctx = lm.groupBy(w1.alias("w1")).agg(F.sum("c_bg").alias("c_ctx"))
+    scored = (
+        bg.join(lm, "bigram")
+        .join(ctx, w1 == F.col("w1"))
+        .select(
+            "doc_id", F.log(F.col("c_bg") * 1.0 / F.col("c_ctx")).alias("logp")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(F.avg("logp"), 4).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMP2 — deterministic per-source exact-k sample (eval-set construction):
+# the k documents with the smallest md5(doc_id || salt) per source. Unlike
+# rate-based sampling (smp1) this yields exactly k rows per group no
+# matter the group's size, and membership is a pure function of doc_id —
+# stable under reruns, engines, and repartitioning. Shuffle inventory: one
+# window per source (hash-partitioned on the group key); at 100 TB with a
+# huge group count this is the standard "sampled eval split" one-pass.
+# ---------------------------------------------------------------------------
+_SMP2_K = 25
+
+
+@register(
+    "smp2_topk_per_source",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || ':eval') AS hk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= {_SMP2_K}
+    """,
+)
+def smp2_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    hk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":eval")))
+    w = Window.partitionBy("source").orderBy(hk, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SMP2_K)
+        .select("doc_id", "source", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T11 — Zipf rank-frequency statistics: global token frequencies ranked,
+# top-20 tokens plus the log-log slope over the top-100 (Zipf's law fits
+# slope ~= -1 for natural language; a flat or cliffed curve flags synthetic
+# or template-heavy corpora). One explode + one (token) groupBy; the
+# global ranking is orderBy+limit(100) — TakeOrderedAndProject, a per-
+# partition top-k + driver merge, NOT a single-partition window over the
+# whole vocabulary — and the rank window then runs on 100 rows.
+# ---------------------------------------------------------------------------
+_ZIPF_FIT = 100
+_ZIPF_TOP = 20
+
+
+@register(
+    "t11_zipf_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM freq
+    ), fit AS (
+      SELECT regr_slope(ln(n), ln(rank)) AS slope FROM ranked
+      WHERE rank <= {_ZIPF_FIT}
+    )
+    SELECT r.token, CAST(r.n AS BIGINT) AS n, CAST(r.rank AS INTEGER) AS rank,
+           floor((f.slope) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS zipf_slope
+    FROM ranked r CROSS JOIN fit f
+    WHERE r.rank <= {_ZIPF_TOP}
+    """,
+)
+def t11_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = ensure_min_parallelism(d).select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # top-k first (TakeOrderedAndProject), THEN rank the k survivors —
+    # identical result to a global row_number filtered to k, without ever
+    # moving the full vocabulary to one partition
+    top = freq.orderBy(F.desc("n"), F.asc("token")).limit(_ZIPF_FIT)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )
+    fit = ranked.agg(F.expr("regr_slope(ln(n), ln(rank))").alias("slope"))
+    return (
+        ranked.filter(F.col("rank") <= _ZIPF_TOP)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("int").alias("rank"),
+            rnd("slope", 4).alias("zipf_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8 — exact-substring duplication spans (the ExactSubstr half of modern
+# dedup stacks, complementing doc-level Jaccard d2/d3): every L-token
+# window is hashed; windows whose hash occurs in MORE THAN ONE document
+# are duplicated spans. Per doc we report how many of its windows are
+# duplicated and the duplicated fraction — the "remove copied spans, not
+# whole docs" signal.
+#
+# Scale shape: the window explode is map-side; the only shuffles are the
+# (hash → distinct-doc-count) partial+final agg and the per-doc rollup.
+# No self-join at all — cross-doc duplication is detected through the
+# aggregated df, so the worst-case cost is linear in total windows even
+# when one boilerplate span occurs in 10^6 documents (the case that makes
+# pairwise approaches quadratic).
+# ---------------------------------------------------------------------------
+_SUBSTR_L = 8
+
+
+@register(
+    "d8_exact_substring_spans",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), win AS (
+      SELECT doc_id,
+             md5(array_to_string(tokens[i:i+{_SUBSTR_L - 1}], ' ')) AS wh
+      FROM tk, unnest(generate_series(1, len(tokens) - {_SUBSTR_L - 1})) AS u(i)
+      WHERE len(tokens) >= {_SUBSTR_L}
+    ), df AS (
+      SELECT wh, count(DISTINCT doc_id) AS n_docs FROM win GROUP BY wh
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           floor((sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS dup_frac
+    FROM win w JOIN df USING (wh)
+    GROUP BY w.doc_id
+    """,
+)
+def d8_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_tokens(spark, sf_dir).filter(
+        F.col("n_tokens") >= _SUBSTR_L
+    )
+    # L-token sliding windows, hashed; NOT distinct per doc — a doc
+    # repeating its own span still counts each occurrence in n_windows
+    win_expr = (
+        f"transform(sequence(1, size(tokens) - {_SUBSTR_L - 1}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i, {_SUBSTR_L}))))"
+    )
+    win = base.select("doc_id", F.explode(F.expr(win_expr)).alias("wh"))
+    df_ = win.groupBy("wh").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        win.join(df_, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            dup.cast("long").alias("n_dup_windows"),
+            rnd(dup * 1.0 / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+    )

@@ -568,3 +568,92 @@ def suggest_ivf_params(n_vectors: int) -> tuple[int, int]:
 
     n_lists = max(4, math.ceil(math.sqrt(max(n_vectors, 1))))
     return n_lists, max(4, n_lists // 8)
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: the train-once / probe-many shape that
+# ivf_ann_topk's docstring promises. write_ivf_index trains the coarse
+# quantizer, assigns the corpus, and writes it partitioned by list_id;
+# probe_ivf_index reads it back with a list_id IN (...) filter, which
+# Spark resolves by PARTITION PRUNING — a probe touches n_probe/n_lists
+# of the files on disk, never the whole corpus. Centroids persist next to
+# the data so probes never re-train.
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(
+    corpus: DataFrame, path: str,
+    n_lists: int = 16, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "emb",
+    literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
+) -> DataFrame:
+    """Train + assign + write the corpus partitioned by list_id; returns
+    the (list_id, centroid) table, which is also written to
+    ``{path}/_centroids``."""
+    spark = corpus.sparkSession
+    corpus = corpus.persist()
+    try:
+        rows = _ivf_train(
+            corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
+        )
+        assigned = ivf_assign(
+            corpus, rows, id_col=id_col, vec_col=vec_col,
+            literal_max_lists=literal_max_lists,
+        )
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    finally:
+        corpus.unpersist()
+    cents = spark.createDataFrame(
+        rows, "list_id long, centroid array<double>"
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents
+
+
+def probe_ivf_index(
+    spark: SparkSession, path: str, queries: DataFrame,
+    k: int = 5, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "emb",
+    query_id_col: str = "query_id", query_vec_col: str = "qemb",
+    literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The probe plan filters the index
+    scan with ``list_id isin(probe lists)`` — a partition filter, so only
+    the probed directories are read (assert via
+    ``tests/test_ivf_index.py``'s pruning check)."""
+    rows = _centroid_rows(
+        spark.read.parquet(f"{path}/_centroids")
+    )
+    qbase, qcents, _ = _with_cents(queries, rows, literal_max_lists)
+    probe_lists = F.transform(
+        F.slice(
+            F.array_sort(_dist_structs_over(F.col(query_vec_col), qcents)),
+            1, n_probe,
+        ),
+        lambda s: s["list_id"],
+    )
+    probes = qbase.select(
+        query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id")
+    )
+    # collect the (tiny) probed list-id set so the index scan gets a
+    # LITERAL partition filter — pruning at planning time, not a join
+    probed_ids = sorted(
+        {int(r["list_id"]) for r in probes.select("list_id").distinct().collect()}
+    )
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_ids))
+    pairs = (
+        F.broadcast(probes).join(index, "list_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", rnd("cos", 4).alias("cosine"), "rank")
+    )
