@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "t1_text_stats",
     "t7_term_frequency",
     "t4_fingerprint",
+    "t10_bigram_lm_score",
+    "t11_zipf_stats",
+    "d8_exact_substring_spans",
+    "v8_near_dup_lsh",
     "m2_byte_histogram",
     "pipe1_training_data_pipeline",
 ]
@@ -76,8 +80,14 @@ def main() -> None:
         # cached frames and (crucially) localCheckpoint blocks from the
         # dedup/persist operators otherwise accumulate in executor storage
         # and tax later queries (measured: d3 44 s inside a polluted run
-        # vs 17.6 s isolated at the 10x scale dir)
+        # vs 17.6 s isolated at the 10x scale dir). Python gc must run
+        # FIRST — py4j only releases the JVM-side DataFrame/RDD handles
+        # (and with them the checkpoint blocks) after the Python wrappers
+        # are collected.
+        import gc
+
         spark.catalog.clearCache()
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     print(

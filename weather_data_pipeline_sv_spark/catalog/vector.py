@@ -439,12 +439,54 @@ def v7_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine verify runs on candidates only. The md5 hyperplanes are
 # engine-independent, so the oracle rebuilds the identical buckets — the
 # approximation itself is oracle-checked, not just the verify arithmetic.
+#
+# SELF-SIZING bands: with a fixed 4-bit band, a 20k-vector corpus packs
+# ~1250 vectors per bucket and the candidate join degenerates quadratic
+# (measured: 196 s at the 10x bench dir vs ~5 s properly sized). Band
+# width therefore grows with the corpus through an INTEGER breakpoint
+# chain (target ~50 vectors/bucket, doubling per 2 bits) that both
+# engines evaluate identically — no float log2 at a boundary. 8 bands
+# always; only the width scales (suggest_lsh_params' rule, made
+# executable and oracle-checked).
 # ---------------------------------------------------------------------------
+_V8_BANDS = 8
+_V8_BREAKPOINTS = [(800, 4), (3200, 6), (12800, 8), (51200, 10), (204800, 12), (819200, 14)]
+_V8_BS_MAX = 16
+
+
+def _v8_band_size(n: int) -> int:
+    for limit, bs in _V8_BREAKPOINTS:
+        if n <= limit:
+            return bs
+    return _V8_BS_MAX
+
+
+_V8_BS_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {limit} THEN {bs}" for limit, bs in _V8_BREAKPOINTS
+    )
+    + f" ELSE {_V8_BS_MAX} END"
+)
+
+_V8_PLANE_COMP = (
+    "CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)"
+    " / 4294967296.0 - 0.5"
+)
+
+
 @register(
     "v8_near_dup_lsh",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    {_DUCK_PLANES},
+    params AS (
+      SELECT {_V8_BS_SQL} AS bs FROM (SELECT count(*) AS n FROM v)
+    ),
+    planes AS (
+      SELECT j.j, list_transform(generate_series(0, {_DIM - 1}),
+        d -> {_V8_PLANE_COMP}) AS w
+      FROM params, unnest(generate_series(0, {_V8_BANDS} * params.bs - 1)) AS j(j)
+    ),
     bits AS (
       SELECT v.vec_id, p.j,
              CASE WHEN {rnd_sql('list_dot_product(v.emb, p.w)', 9)} >= 0
@@ -453,8 +495,9 @@ def v7_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS s FROM bits GROUP BY vec_id),
     bands AS (
-      SELECT vec_id, b.b AS band_id, substr(s, b.b * {_BAND_SIZE} + 1, {_BAND_SIZE}) AS band_key
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES // _BAND_SIZE - 1})) AS b) b
+      SELECT vec_id, b.b AS band_id, substr(s, b.b * params.bs + 1, params.bs) AS band_key
+      FROM sig CROSS JOIN params,
+           unnest(generate_series(0, {_V8_BANDS - 1})) AS b(b)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -477,7 +520,8 @@ def v7_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v8_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = _corpus_and_queries(spark, sf_dir)
+    bs = _v8_band_size(emb.count())
     return sim.cosine_near_dup_pairs_lsh(
         emb, spark, threshold=_NEAR_DUP_COS,
-        n_planes=_N_PLANES, band_size=_BAND_SIZE, dim=_DIM,
+        n_planes=_V8_BANDS * bs, band_size=bs, dim=_DIM,
     )
