@@ -70,6 +70,15 @@ def main() -> None:
 
     # warmup: spin up executors / codegen paths outside the measurement
     queries["a10_union_report"](spark, sf_dir).collect()
+    # ... and the Python worker pool: the first mapInPandas otherwise pays
+    # ~32 workers x (fork + import pandas/numpy), which billed ~16 s to
+    # m2_byte_histogram rather than to the harness (measured at the 10x
+    # dir: 23 s in-bench vs 6.7 s isolated-cold / 0.9 s warm)
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
