@@ -1227,3 +1227,58 @@ def d8_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(dup * 1.0 / F.count(F.lit(1)), 4).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SMP3 — per-shard sequence packing (the concatenate-and-chunk layout every
+# autoregressive training run performs): documents are laid end-to-end in
+# deterministic (source, doc_id) order and cut into fixed 512-token
+# sequences; each doc reports its shard-local token offset (`tok_offset`) and the
+# sequence ids its tokens span. Packing is PER SOURCE-SHARD on purpose:
+# the running-total window partitions by source (a hash shuffle), never a
+# single global ordering — the same reason real pipelines pack within
+# shards. A doc may straddle sequences (start_seq < end_seq): that is the
+# layout's boundary-crossing property, reported rather than hidden.
+# ---------------------------------------------------------------------------
+_SEQ_LEN = 512
+
+
+@register(
+    "smp3_sequence_packing",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS tok_offset
+      FROM tk WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset // {_SEQ_LEN} AS BIGINT) AS start_seq,
+           CAST((tok_offset + n_tokens - 1) // {_SEQ_LEN} AS BIGINT) AS end_seq
+    FROM c
+    """,
+)
+def smp3_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok_offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        tok_offset.alias("tok_offset"),
+    ).select(
+        "doc_id", "source", "n_tokens", "tok_offset",
+        F.floor(F.col("tok_offset") / _SEQ_LEN).cast("long").alias("start_seq"),
+        F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / _SEQ_LEN)
+        .cast("long")
+        .alias("end_seq"),
+    )
