@@ -16,13 +16,16 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_driver_contract_non_utc_host():
-    env = dict(os.environ, TZ="America/New_York")
+    # local[4] + generous timeout: this subprocess competes with the
+    # suite's own local[8] session for the same cores; the real driver
+    # runs alone. Semantics are unaffected by the core count.
+    env = dict(os.environ, TZ="America/New_York", DRIVER_SIM_MASTER="local[4]")
     proc = subprocess.run(
         [sys.executable, SIM, SF],
         env=env,
         capture_output=True,
         text=True,
-        timeout=560,
+        timeout=900,
     )
     tail = "\n".join(proc.stdout.splitlines()[-40:])
     assert proc.returncode == 0, f"driver sim failed:\n{tail}\n{proc.stderr[-2000:]}"

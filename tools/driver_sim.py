@@ -21,8 +21,15 @@ spec.loader.exec_module(mod)
 
 from pyspark.sql import SparkSession
 
-# vanilla session, as the driver would build it — none of our tuned configs
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+# vanilla session, as the driver would build it — none of our tuned configs.
+# DRIVER_SIM_MASTER only right-sizes the core count when the sim runs as a
+# subprocess of the already-loaded pytest session (resource contention,
+# not semantics).
+spark = (
+    SparkSession.builder.master(os.environ.get("DRIVER_SIM_MASTER", "local[8]"))
+    .appName("driver-sim")
+    .getOrCreate()
+)
 
 # 1. smoke: entry()
 df = mod.entry(spark)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import rnd
 from ..sources import load_tables
 from . import register
 
@@ -215,4 +216,78 @@ def s8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
         "version",
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2 — ordered funnel: users who viewed, then clicked strictly AFTER their
+# first view, then purchased strictly AFTER that first qualifying click.
+# The classic product-analytics shape (strict event ordering per user —
+# NOT three independent EXISTS). Plan: three filtered passes over one
+# events scan, each reduced to a per-user min timestamp and broadcast
+# into the next step's filter; the wide table is never self-joined
+# row-to-row, so cost is 3 scans + tiny-dim joins at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "e2_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS users_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS users_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS users_purchase,
+           floor(((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS view_to_click,
+           floor(((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS click_to_purchase
+    """,
+)
+def e2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("users_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("users_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("users_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "users_view", "users_click", "users_purchase",
+            rnd(F.col("users_click") * 1.0 / F.col("users_view"), 4).alias(
+                "view_to_click"
+            ),
+            rnd(
+                F.col("users_purchase") * 1.0 / F.col("users_click"), 4
+            ).alias("click_to_purchase"),
+        )
     )

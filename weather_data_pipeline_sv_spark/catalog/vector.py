@@ -525,3 +525,91 @@ def v8_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, spark, threshold=_NEAR_DUP_COS,
         n_planes=_V8_BANDS * bs, band_size=bs, dim=_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# V9 — matryoshka truncation quality: rank the corpus by cosine on the
+# FIRST 16 dims vs the full 64, and report per-query top-5 overlap. The
+# standard eval for serving truncated (matryoshka) embeddings: truncation
+# cuts ANN storage/bandwidth 4× IF the short prefix preserves ranking —
+# this entry measures exactly that retention, oracle-checked. Plan shape:
+# two broadcast-NL rankings over one corpus scan each, then a tiny
+# per-query join+agg; at scale the truncated pass is the cheap
+# first-stage filter and the full-dim pass reranks its survivors.
+# ---------------------------------------------------------------------------
+_TRUNC_DIM = 16
+
+
+def _duck_rank(vec_expr: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {rnd_sql(f'list_dot_product({vec_expr.format(t="q")}, {vec_expr.format(t="c")}) / (sqrt(list_dot_product({vec_expr.format(t="q")}, {vec_expr.format(t="q")})) * sqrt(list_dot_product({vec_expr.format(t="c")}, {vec_expr.format(t="c")})))', 6)} DESC,
+                          c.vec_id ASC) AS rnk
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_TOP_K}
+    )"""
+
+
+@register(
+    "v9_matryoshka_overlap",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_duck_rank('{t}.emb', 'full_rank')},
+    {_duck_rank('{t}.emb[1:' + str(_TRUNC_DIM) + ']', 'trunc_rank')}
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS INTEGER) AS n_shared,
+           {rnd_sql(f'count(t.neighbor_id) * 1.0 / {_TOP_K}', 4)} AS overlap_at_k
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def v9_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _corpus_and_queries(spark, sf_dir)
+
+    def topk(qv, cv):
+        pairs = (
+            F.broadcast(q)
+            .join(emb, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(qv, cv).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(F.col("qemb"), F.col("emb"))
+    trunc = topk(
+        F.slice(F.col("qemb"), 1, _TRUNC_DIM), F.slice(F.col("emb"), 1, _TRUNC_DIM)
+    ).select(
+        F.col("query_id").alias("t_query"),
+        F.col("neighbor_id").alias("t_neighbor"),
+    )
+    shared = F.count(F.col("t_neighbor"))
+    return (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("t_query"))
+            & (F.col("neighbor_id") == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            shared.cast("int").alias("n_shared"),
+            rnd(shared * 1.0 / _TOP_K, 4).alias("overlap_at_k"),
+        )
+    )
