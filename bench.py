@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "v8_near_dup_lsh",
     "m2_byte_histogram",
     "pipe1_training_data_pipeline",
+    "pipe2_full_corpus_pipeline",
 ]
 
 

@@ -1282,3 +1282,226 @@ def smp3_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("end_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE2 — the full modern pretraining-corpus pipeline in one entry, every
+# stage the real thing from this catalog, chained in production order:
+#
+#   1. heuristic quality filter        (t5's rules)
+#   2. exact dedup                     (d1: min-doc_id per content hash)
+#   3. benchmark decontamination      (d7: eval = every 17th raw doc,
+#      corpus docs with >= 20% eval-shingle overlap dropped; eval ids
+#      themselves excluded from the corpus)
+#   4. MinHash-LSH near-dup removal    (d3 banding, true-Jaccard >= 0.5
+#      verify, greedy keep-lowest-id)
+#   5. bigram-LM quality filter        (t10's LM TRAINED ON THE SURVIVORS
+#      — dedup first, so duplicated boilerplate can't inflate its own
+#      probability — keep avg_logp >= -3.5)
+#   6. deterministic hash split        (smp1's train/val/test)
+#   7. sequence-packing accounting     (smp3's 512-token layout: per
+#      (lang, split) shard, n_seqs = ceil(total_tokens / 512))
+#
+# Order matters and is the order argued in the dedup literature: quality
+# before dedup (garbage can alias real text), dedup before decontaminate/
+# LM (duplicates distort both), LM last among filters (trained on the
+# cleanest corpus). The oracle replays all seven stages in one SQL
+# statement — including the MinHash signatures, banding, and the LM —
+# so the whole chain is hash-checked, not just its pieces.
+# ---------------------------------------------------------------------------
+_P2_LM_MIN = -3.5
+_P2_DECON_MOD = 17
+_P2_DECON_THRESH = 0.2
+_P2_SEQ = 512
+
+
+@register(
+    "pipe2_full_corpus_pipeline",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tokens FROM documents
+      WHERE length(text) > 0
+    ), m AS (
+      SELECT doc_id, lang, text, tokens, len(tokens) AS n_tokens,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+               / len(tokens) AS mean_tok_len,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) > 0
+               AS has_stopword
+      FROM tk WHERE len(tokens) > 0
+    ), kept AS (
+      SELECT doc_id, lang, text, tokens, n_tokens FROM m
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND symbol_ratio < 0.3 AND has_stopword
+    ), uniq AS (
+      SELECT doc_id, lang, text, tokens, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    -- stage 3: decontamination against the every-17th raw-doc eval set
+    ev_sh AS (
+      SELECT DISTINCT unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+      FROM tk WHERE doc_id % {_P2_DECON_MOD} = 0 AND len(tokens) >= 3
+    ), corp AS (
+      SELECT * FROM uniq WHERE doc_id % {_P2_DECON_MOD} <> 0
+    ), corp_sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+      FROM corp WHERE len(tokens) >= 3
+    ), contam AS (
+      SELECT c.doc_id,
+             count(*) AS n_sh,
+             sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM corp_sh c LEFT JOIN ev_sh e ON c.shingle = e.shingle
+      GROUP BY c.doc_id
+    ), clean AS (
+      SELECT corp.* FROM corp JOIN contam USING (doc_id)
+      WHERE n_hit * 1.0 / n_sh < {_P2_DECON_THRESH}
+    ),
+    -- stage 4: MinHash-LSH near-dup removal among the clean docs
+    sh2 AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+      FROM clean WHERE len(tokens) >= 3
+    ), h2 AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+      FROM sh2
+    ), sig2 AS (SELECT doc_id, {_SIG_COLS} FROM h2 GROUP BY doc_id),
+    bands2 AS (
+      SELECT doc_id, b.band_id, CASE b.band_id {_BAND_CASES} END AS band_key
+      FROM sig2 CROSS JOIN (
+        SELECT unnest(generate_series(0, {_N_HASHES // _BAND_SIZE - 1})) AS band_id
+      ) b
+    ), cand2 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands2 a JOIN bands2 b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), counts2 AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    inter2 AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand2 c
+      JOIN sh2 a ON a.doc_id = c.doc_a
+      JOIN sh2 b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), losers2 AS (
+      SELECT DISTINCT i.doc_b FROM inter2 i
+      JOIN counts2 ca ON i.doc_a = ca.doc_id
+      JOIN counts2 cb ON i.doc_b = cb.doc_id
+      WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    ), survivors AS (
+      SELECT c.* FROM clean c LEFT JOIN losers2 l ON c.doc_id = l.doc_b
+      WHERE l.doc_b IS NULL
+    ),
+    -- stage 5: bigram LM trained on the survivors, scored on themselves
+    bg AS (
+      SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bigram
+      FROM survivors WHERE len(tokens) >= 2
+    ), lm AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram),
+    ctx AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+      FROM lm GROUP BY split_part(bigram, ' ', 1)
+    ), lp AS (
+      SELECT bg.doc_id, avg(ln(lm.c_bg * 1.0 / ctx.c_ctx)) AS avg_logp
+      FROM bg JOIN lm USING (bigram)
+      JOIN ctx ON ctx.w1 = split_part(bg.bigram, ' ', 1)
+      GROUP BY bg.doc_id
+    ), final AS (
+      SELECT s.doc_id, s.lang, s.n_tokens,
+             {hash_uniform_sql('s.doc_id', 'split')} AS up
+      FROM survivors s JOIN lp USING (doc_id)
+      WHERE lp.avg_logp >= {_P2_LM_MIN}
+    )
+    SELECT lang,
+           CASE WHEN up < 0.05 THEN 'test'
+                WHEN up < 0.10 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {_P2_SEQ - 1}) // {_P2_SEQ} AS BIGINT) AS n_seqs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM final
+    GROUP BY lang, split
+    """,
+)
+def pipe2_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_tokens(spark, sf_dir).filter(
+        (F.length("text") > 0) & (F.col("n_tokens") > 0)
+    )
+    # stage 1 — quality filter (t5's exact rules)
+    total_len = F.expr(
+        "aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    mean_tok_len = total_len.cast("double") / F.col("n_tokens")
+    symbol_ratio = (
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        / F.length("text")
+    )
+    has_stopword = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b")
+    ) > 0
+    kept = d.filter(
+        F.col("n_tokens").between(5, 5000)
+        & mean_tok_len.between(2.0, 12.0)
+        & (symbol_ratio < 0.3)
+        & has_stopword
+    )
+    # stage 2 — exact dedup
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    # stage 3 — decontamination (eval = every 17th raw doc; eval ids leave
+    # the corpus, contaminated corpus docs are dropped)
+    eval_df = d.filter(F.col("doc_id") % _P2_DECON_MOD == 0).select(
+        "doc_id", "text"
+    )
+    corp = uniq.filter(F.col("doc_id") % _P2_DECON_MOD != 0)
+    decon = dd.ngram_decontaminate(
+        corp, eval_df, id_col="doc_id", text_col="text",
+        n=3, threshold=_P2_DECON_THRESH,
+    )
+    clean = corp.join(
+        decon.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
+    )
+    # stage 4 — MinHash-LSH near-dup removal (d3 machinery)
+    pairs = dd.minhash_lsh_pairs(
+        clean, "doc_id", "text", n=3,
+        n_hashes=_N_HASHES, band_size=_BAND_SIZE, threshold=0.5,
+    )
+    survivors = dd.drop_near_duplicates(clean, "doc_id", pairs)
+    # stage 5 — bigram LM on the survivors, filter low-likelihood docs
+    surv_tok = survivors.withColumn("tokens", F.expr(_SPARK_TOKENS))
+    bg = surv_tok.filter(F.size("tokens") >= 2).select(
+        "doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram")
+    )
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    ctx = lm.groupBy(w1.alias("w1")).agg(F.sum("c_bg").alias("c_ctx"))
+    lp = (
+        bg.join(lm, "bigram")
+        .join(ctx, w1 == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c_bg") * 1.0 / F.col("c_ctx"))).alias("avg_logp"))
+    )
+    final = survivors.join(
+        lp.filter(F.col("avg_logp") >= _P2_LM_MIN).select("doc_id"), "doc_id"
+    )
+    # stage 6 — split; stage 7 — packing accounting per (lang, split)
+    return (
+        final.withColumn("split", _split_column(F.col("doc_id"), 0.05, 0.05))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.floor(
+                (F.sum("n_tokens") + F.lit(_P2_SEQ - 1)) / F.lit(_P2_SEQ)
+            ).cast("long").alias("n_seqs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
