@@ -224,9 +224,11 @@ def s8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first view, then purchased strictly AFTER that first qualifying click.
 # The classic product-analytics shape (strict event ordering per user —
 # NOT three independent EXISTS). Plan: three filtered passes over one
-# events scan, each reduced to a per-user min timestamp and broadcast
-# into the next step's filter; the wide table is never self-joined
-# row-to-row, so cost is 3 scans + tiny-dim joins at any scale.
+# events scan, each reduced to a per-user min timestamp joined into the
+# next step's filter — per-user tables are AQE-sized at runtime
+# (broadcast while small, shuffle join at user counts that outgrow it;
+# no explicit broadcast pin); the wide table is never self-joined
+# row-to-row.
 # ---------------------------------------------------------------------------
 @register(
     "e2_funnel",
@@ -263,14 +265,14 @@ def e2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

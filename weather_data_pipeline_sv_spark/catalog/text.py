@@ -982,7 +982,12 @@ def t8_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count(F.lit(1)).alias("n_total"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # df_ is vocabulary-sized (one row per term) — NOT an explicit
+        # broadcast: AQE sizes the post-shuffle aggregate at runtime, so
+        # it broadcasts while small and shuffle-joins at scale. An
+        # explicit F.broadcast here would pin an unbounded table to the
+        # driver forever.
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1050,6 +1055,9 @@ def t10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     ctx = lm.groupBy(w1.alias("w1")).agg(F.sum("c_bg").alias("c_ctx"))
+    # lm/ctx are vocabulary-sized post-shuffle aggregates: AQE sizes them
+    # at runtime (broadcast while small, shuffle join at scale) — no
+    # manual hint; see session.py for the policy
     scored = (
         bg.join(lm, "bigram")
         .join(ctx, w1 == F.col("w1"))

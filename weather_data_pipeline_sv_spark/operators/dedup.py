@@ -150,13 +150,23 @@ def jaccard_pairs(
 
 def _attach_jaccard(inter: DataFrame, counts: DataFrame, threshold: float) -> DataFrame:
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # ``counts`` is one row per document — a post-shuffle aggregate whose
+    # size AQE measures EXACTLY at runtime, so it broadcasts while small
+    # and degrades to a shuffle join automatically when the corpus
+    # outgrows the threshold. No manual hint: forcing shuffle_hash here
+    # benched 1.7x SLOWER at the 30x dir (the broadcast is genuinely
+    # right up to tens of millions of docs).
     return (
         inter.join(
-            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
             "doc_a",
         )
         .join(
-            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
             "doc_b",
         )
         .withColumn("jaccard", jac)

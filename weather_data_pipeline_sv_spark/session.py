@@ -38,7 +38,18 @@ def get_spark(
         # let Python Data Sources (sources/brightsky_datasource.py) consume
         # pushed filters for partition pruning
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # dims here are tiny (<=~1000 rows); broadcast generously
+        # 64MB broadcast threshold: a deliberate LOCAL-PERF choice, safe
+        # because (a) AQE re-plans joins with REAL post-shuffle sizes, so
+        # a table that outgrows the threshold at scale gets a shuffle
+        # join, never a runaway broadcast; and (b) every join whose build
+        # side is UNBOUNDED BY DESIGN (per-doc counts, bigram LMs,
+        # per-user mins, window-hash dfs — tables that grow with the
+        # data) carries an explicit shuffle_hash hint at the operator
+        # level, so its plan does not depend on this knob at all.
+        # Measured: threshold at the 10MB default slowed the 30x bench
+        # 198 -> 243 s (mid-size broadcasts are genuinely right locally)
+        # while the hints alone fixed the one pathological broadcast
+        # (gap-fill, 31 -> 13 s — see SCALE.md).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # merge-by-key writers overwrite only touched date partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
