@@ -293,3 +293,73 @@ def e2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e3 — weekly retention cohorts: users bucketed by first-activity week,
+# then for each (cohort, weeks-since) the distinct active users and the
+# retention rate against the cohort's size. The other half of the
+# product-analytics pair with e2. Plan: one per-user min (hash agg), one
+# equi-join of events to their user's cohort (per-user table, AQE-sized),
+# distinct (cohort, week_no, user) partial-aggregated, then a tiny
+# per-cohort rollup joined back — no self-join of the events table.
+# ---------------------------------------------------------------------------
+@register(
+    "e3_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT f.cohort_week, e.user_id,
+             CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS INTEGER)
+               AS week_no
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM first_seen GROUP BY cohort_week
+    ),
+    ret AS (
+      SELECT cohort_week, week_no, count(*) AS n_active
+      FROM activity GROUP BY cohort_week, week_no
+    )
+    SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_no,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           floor((r.n_active * 1.0 / s.cohort_size) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS retention
+    FROM ret r JOIN sizes s USING (cohort_week)
+    """,
+)
+def e3_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    week = lambda c: F.date_trunc("week", c).cast("timestamp_ntz")  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            F.floor(
+                F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_no"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = activity.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return ret.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_no",
+        "n_active",
+        "cohort_size",
+        rnd(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias("retention"),
+    )
