@@ -11,6 +11,7 @@ JVM/codegen startup isn't billed to the first measured query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -94,8 +95,32 @@ def main() -> None:
         # FIRST — py4j only releases the JVM-side DataFrame/RDD handles
         # (and with them the checkpoint blocks) after the Python wrappers
         # are collected.
-        import gc
-
+        #
+        # Before any gc: drain in-flight work. The write above is
+        # synchronous, but zombie tasks survive it — a short-circuit
+        # `limit(n).count()` guard probe or an AQE re-plan cancels its job
+        # while launched tasks keep running (interruptOnCancel is off by
+        # default), and when such a task completes AFTER System.gc() has
+        # unregistered its accumulators, the DAGScheduler logs a
+        # "non-existent accumulator" stack trace into the bench output
+        # (harmless, rc=0, but ~1400 of them polluted the r02 artifact).
+        # Job/stage-level polling can't see zombies (their job is already
+        # done), so drain at TASK level via the executor running-task
+        # counts.
+        tracker = spark.sparkContext.statusTracker()
+        jtracker = spark.sparkContext._jsc.sc().statusTracker()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            running = sum(
+                e.numRunningTasks() for e in jtracker.getExecutorInfos()
+            )
+            if (
+                running == 0
+                and not tracker.getActiveJobsIds()
+                and not tracker.getActiveStageIds()
+            ):
+                break
+            time.sleep(0.05)
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()

