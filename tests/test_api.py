@@ -136,3 +136,19 @@ def test_404_contract(client):
     assert status == 404 and "No forecast data" in body["detail"]
     status, _ = client("/nope")
     assert status == 404
+
+
+def test_422_on_non_integer_params(client):
+    # FastAPI validation contract (reference: Query(...) coercion): junk
+    # ints are a 422 with a detail LIST, not a 500 (round-2 ADVICE)
+    for url in (
+        "/weather/postal/10115?hours=abc",
+        "/weather/forecast/10115?hours_ahead=2.5",
+    ):
+        status, body = client(url)
+        assert status == 422, url
+        [d] = body["detail"]
+        assert d["type"] == "int_parsing" and d["loc"][0] == "query"
+    # valid params still fine after the guard
+    status, _ = client("/weather/postal/10115?hours=5")
+    assert status == 200

@@ -202,3 +202,77 @@ def test_ngram_decontaminate_eval_side_is_broadcast(spark):
         corpus, eval_df, "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_cap_matches_capped_oracle(spark, tmp_path):
+    """When the stop-shingle cap BINDS, Spark jaccard_pairs and the capped
+    DuckDB CTE (the `shc` mirror in catalog/text.py) must still agree.
+
+    Corpus: 5 docs all sharing one hot boilerplate shingle run, two of them
+    genuine near-dups beyond it. cap=3 < 5 so the boilerplate shingles are
+    dropped by BOTH engines; an uncapped oracle would disagree on the
+    jaccard value (the round-2 ADVICE finding this test pins)."""
+    import duckdb
+
+    boiler = "all rights reserved contact us today"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon eta {boiler}"),
+        (3, f"one two three four five six {boiler}"),
+        (4, f"seven eight nine ten eleven twelve {boiler}"),
+        (5, f"red green blue cyan magenta yellow {boiler}"),
+    ]
+    cap = 3
+    df = _docs(spark, rows)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 10))
+        for r in dd.jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=cap
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        (a, b, round(j, 10))
+        for a, b, j in con.execute(f"""
+        WITH tk AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(tokens) - 2),
+            i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+          FROM tk WHERE len(tokens) >= 3
+        ), shc AS (
+          SELECT s.doc_id, s.shingle FROM sh s
+          JOIN (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= {cap}) k USING (shingle)
+        ), counts AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) AS jaccard
+        FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) >= 0.05
+        """).fetchall()
+    )
+    # the cap must actually bind in this fixture (boilerplate df = 5 > 3)
+    assert got == want and len(got) > 0
+    # and the capped result must DIFFER from uncapped — otherwise this test
+    # wouldn't detect an engine that ignores the cap
+    uncapped = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 10))
+        for r in dd.jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=None
+        ).collect()
+    )
+    assert uncapped != got

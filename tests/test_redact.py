@@ -14,6 +14,10 @@ DOCS = [
     (3, "mixed: a@b.io then 8.8.8.8 then +1 650-253-0000 done"),
     (4, "clean text with numbers 12345 and the year 2025 intact"),
     (5, "not-an-email a@@b..c and version 1.2.3.4.5 stays partial"),
+    # round-2 ADVICE regressions: dates and formatted numbers are NOT phones
+    (6, "released 2025-10-01, updated 12.03.2024, due 1-2-25 ok"),
+    (7, "population 1 000 000 and price 1.000.000 versus 12-34 range"),
+    (8, "dial 555-123-4567 or 040 123 4567 now"),
 ]
 
 
@@ -58,3 +62,26 @@ def test_precision_over_recall(redacted):
     # prefix (conservative patterns, by design)
     r = redacted[5]
     assert "<EMAIL>" not in r["text"]
+
+
+def test_dates_not_masked_as_phones(redacted):
+    # ISO, dotted-euro, and short dashed dates all survive (round-2 ADVICE)
+    r = redacted[6]
+    assert r["text"] == DOCS[6][1]
+    assert r["n_phones"] == 0
+
+
+def test_formatted_numbers_not_masked_as_phones(redacted):
+    # thousands groupings (space or dot) and short digit pairs survive
+    r = redacted[7]
+    assert r["text"] == DOCS[7][1]
+    assert r["n_phones"] == 0
+
+
+def test_real_phones_still_masked_after_guards(redacted):
+    # the guards must not cost recall on ordinary phone formats — including
+    # '040 123 4567', whose PREFIX looks like a thousands grouping (the
+    # excluded shapes only apply when they span the whole digit run)
+    r = redacted[8]
+    assert r["text"] == "dial <PHONE> or <PHONE> now"
+    assert r["n_phones"] == 2

@@ -117,3 +117,49 @@ def test_reference_jobs_cron_parity():
         assert j.retries == 2
         assert j.retry_delay == dt.timedelta(minutes=5)
         assert j.max_active_runs == 1 and j.catchup is False
+
+
+def test_cron_dom_dow_or_rule():
+    # Vixie rule: both day fields restricted -> OR. "0 0 13 * 5" fires on
+    # the 13th of the month AND on every Friday, not only Friday-the-13th.
+    s = CronSchedule("0 0 13 * 5")
+    assert s.matches(dt.datetime(2025, 6, 13))   # Fri 13 June (both match)
+    assert s.matches(dt.datetime(2025, 10, 13))  # Mon 13 Oct (dom only)
+    assert s.matches(dt.datetime(2025, 10, 17))  # Fri 17 Oct (dow only)
+    assert not s.matches(dt.datetime(2025, 10, 14))  # Tue 14 Oct (neither)
+
+
+def test_cron_dom_dow_and_when_one_unrestricted():
+    # only dow restricted -> plain AND semantics (dom '*' matches all days)
+    s = CronSchedule("0 0 * * 5")
+    assert s.matches(dt.datetime(2025, 10, 17))      # Friday
+    assert not s.matches(dt.datetime(2025, 10, 13))  # Monday
+    # only dom restricted
+    s2 = CronSchedule("0 0 13 * *")
+    assert s2.matches(dt.datetime(2025, 10, 13))
+    assert not s2.matches(dt.datetime(2025, 10, 17))
+
+
+def test_max_active_runs_two_allows_one_overlap():
+    sched = Scheduler([], start=T0, sleep=lambda s: None)
+    depth = {"n": 0}
+
+    def reentrant(asof):
+        depth["n"] += 1
+        if depth["n"] == 1:
+            # first level: a second concurrent run is allowed...
+            inner = sched.fire("t", asof + dt.timedelta(minutes=1))
+            assert inner.state == "success"
+            # ...but a third (fired while two are active) is skipped
+            assert sched.ledger[-2].state == "skipped_active"
+        elif depth["n"] == 2:
+            third = sched.fire("t", asof + dt.timedelta(minutes=2))
+            assert third.state == "skipped_active"
+
+    sched.jobs["t"] = Job(
+        "t", CronSchedule("30 * * * *"), reentrant, max_active_runs=2
+    )
+    sched._last_tick["t"] = T0
+    [rec] = sched.tick(T0 + dt.timedelta(hours=1))
+    assert rec.state == "success"
+    assert sched._active == {}  # counts fully released

@@ -68,8 +68,33 @@ def _rows(df: DataFrame) -> list[dict[str, Any]]:
 
 
 class _HttpError(Exception):
-    def __init__(self, status: int, detail: str):
+    def __init__(self, status: int, detail: Any):
         self.status, self.detail = status, detail
+
+
+def _int_param(params: dict[str, str], name: str, default: int) -> int:
+    """Parse an integer query param, replying 422 on junk — FastAPI's
+    validation-error contract (the reference returns a 422 with a
+    ``detail`` list for ``?hours=abc``; the generic handler would have
+    turned the ValueError into a 500 — round-2 ADVICE)."""
+    raw = params.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise _HttpError(
+            422,
+            [
+                {
+                    "type": "int_parsing",
+                    "loc": ["query", name],
+                    "msg": "Input should be a valid integer, unable to "
+                    "parse string as an integer",
+                    "input": raw,
+                }
+            ],
+        ) from None
 
 
 def create_app(
@@ -106,7 +131,7 @@ def create_app(
     @route(r"/weather/postal/(?P<postal_code>[^/]+)")
     def postal(params, postal_code):
         data_type = params.get("data_type", "observation")
-        hours = int(params.get("hours", "24"))
+        hours = _int_param(params, "hours", 24)
         rows = _rows(
             q.weather_history(gold, postal_code, data_type, asof_provider(), hours)
         )
@@ -132,7 +157,7 @@ def create_app(
 
     @route(r"/weather/forecast/(?P<postal_code>[^/]+)")
     def forecast(params, postal_code):
-        hours_ahead = int(params.get("hours_ahead", "48"))
+        hours_ahead = _int_param(params, "hours_ahead", 48)
         rows = _rows(
             q.forecast_window(gold, postal_code, asof_provider(), hours_ahead)
         )
@@ -177,7 +202,13 @@ def create_app(
     return app
 
 
-_REASON = {200: "OK", 404: "Not Found", 405: "Method Not Allowed", 500: "Internal Server Error"}
+_REASON = {
+    200: "OK",
+    404: "Not Found",
+    405: "Method Not Allowed",
+    422: "Unprocessable Entity",
+    500: "Internal Server Error",
+}
 
 
 def _parse_qs(qs: str) -> dict[str, str]:

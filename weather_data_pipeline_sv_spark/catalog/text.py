@@ -71,6 +71,24 @@ _DUCK_DOC_SHINGLES = f"""
       )
 """
 
+# Capped twin of the shingle CTE: drops shingles whose document frequency
+# exceeds dd.JACCARD_MAX_SHINGLE_DF, mirroring the Spark-side default of
+# operators/dedup.py::jaccard_pairs EXACTLY. Every oracle of an entry that
+# calls jaccard_pairs with the default cap must build its counts/pairs
+# from `shc`, not `sh` — otherwise hash identity silently breaks the first
+# time a corpus contains a shingle shared by more than cap documents
+# (current testdata never hits the cap, which is precisely why the
+# divergence would be silent). Parity with the cap binding is pinned in
+# tests/test_dedup_operators.py::test_jaccard_cap_matches_capped_oracle.
+_DUCK_DOC_SHINGLES_CAPPED = f"""{_DUCK_DOC_SHINGLES},
+      shc AS (
+        SELECT s.doc_id, s.shingle FROM sh s
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= {dd.JACCARD_MAX_SHINGLE_DF}) k
+        USING (shingle)
+      )
+"""
+
 
 # ---------------------------------------------------------------------------
 # T1 — text statistics / quality scoring (length, token stats, ratios).
@@ -240,11 +258,11 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d2_dedup_ngram_jaccard",
     oracle=f"""
-    {_DUCK_DOC_SHINGLES},
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    {_DUCK_DOC_SHINGLES_CAPPED},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
       )
     SELECT p.doc_a, p.doc_b,
@@ -392,11 +410,11 @@ def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d5_dedup_survivors",
     oracle=f"""
-    {_DUCK_DOC_SHINGLES},
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    {_DUCK_DOC_SHINGLES_CAPPED},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
       ),
       losers AS (
@@ -551,11 +569,11 @@ def smp1_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d6_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE
-    {_DUCK_DOC_SHINGLES.strip().removeprefix('WITH').strip()},
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    {_DUCK_DOC_SHINGLES_CAPPED.strip().removeprefix('WITH').strip()},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
       rawpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
       ),
       pairs AS (
@@ -704,11 +722,16 @@ from ..operators.sampling import split_column as _split_column  # noqa: E402
     ), sh AS (
       SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
       FROM uniq WHERE len(tokens) >= 3
+    ), shc AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) <= {dd.JACCARD_MAX_SHINGLE_DF}) k
+      USING (shingle)
     ), counts AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ), losers AS (
       SELECT DISTINCT p.doc_b
@@ -1512,4 +1535,29 @@ def pipe2_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_seqs"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T12 — BPE-ish token counting via the shared tokenizer operator
+# (operators/tokenize.py). This catalog entry runs the builtin JVM lexer
+# (letter runs | digit runs | single symbols) so it is oracle-checkable and
+# Python-free; the same operator exposes import-gated tiktoken/HF paths
+# with identical plumbing (tests/test_tokenize.py), mirroring the honest
+# codec gating in multimodal — round-2 verdict item 6.
+# ---------------------------------------------------------------------------
+@register(
+    "t12_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(coalesce(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 0) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def t12_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenize as tok
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return tok.count_tokens(d, "text", "n_tokens", tokenizer=tok.BUILTIN).select(
+        "doc_id", "n_tokens"
     )

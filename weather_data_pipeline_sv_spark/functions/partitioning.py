@@ -26,6 +26,14 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Partition count via the JVM internal-row RDD, NOT ``df.rdd``: the
+    # PySpark ``.rdd`` property additionally builds the Python-serializer
+    # RDD wrapper (a JavaRDD + batched-pickle conversion plan) per call,
+    # which is pure overhead when all we need is the split count. Both
+    # force physical planning only; this guard is applied to narrow
+    # post-scan plans (no shuffle stages), so under AQE neither triggers
+    # any job execution.
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df

@@ -21,9 +21,26 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 # international-ish phone: optional +country / leading area-code paren,
-# then 7-14 digits with separators; anchored on digit boundaries so plain
-# numbers in prose aren't eaten
-PHONE_RE = r"(?<![0-9A-Za-z])[+(]?[0-9][0-9 ()\-.]{6,14}[0-9](?![0-9A-Za-z])"
+# then a digit run with separators, anchored on digit boundaries so plain
+# numbers in prose aren't eaten. Precision guards (each asserts the
+# excluded shape spans the ENTIRE digit run via _RUN_END, so a real phone
+# with a thousands-like or date-like prefix is still masked):
+#   - at least 7 digits reachable through separators (drops '12-34', years)
+#   - ISO dates 2025-10-01 and dotted/euro dates 12.03.2024 / 1-2-25
+#   - thousands groupings 1 000 000 / 1.000.000
+# A candidate STARTING with a full date shape is left unmasked even if more
+# digits trail after a gap — corpus scrubbing prefers precision (see module
+# docstring); the date-adjacent-phone corner case is documented in
+# tests/test_redact.py.
+_RUN_END = r"(?![0-9]|[ ()\-.]{1,3}[0-9])"  # digit run genuinely ends here
+PHONE_RE = (
+    r"(?<![0-9A-Za-z])"
+    rf"(?![0-9]{{4}}[-./][0-9]{{1,2}}[-./][0-9]{{1,2}}{_RUN_END})"
+    rf"(?![0-9]{{1,2}}[-./][0-9]{{1,2}}[-./][0-9]{{2,4}}{_RUN_END})"
+    rf"(?![0-9]{{1,3}}(?:[ .][0-9]{{3}})+{_RUN_END})"
+    r"(?=(?:[ ()\-.+]*[0-9]){7})"
+    r"[+(]?[0-9][0-9 ()\-.]{6,14}[0-9](?![0-9A-Za-z])"
+)
 
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
 

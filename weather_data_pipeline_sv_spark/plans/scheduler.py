@@ -69,13 +69,21 @@ class CronSchedule:
 
     def matches(self, t: dt.datetime) -> bool:
         m, h, dom, mon, dow = self._sets()
-        return (
-            t.minute in m
-            and t.hour in h
-            and t.day in dom
-            and t.month in mon
-            and t.weekday() in {(d - 1) % 7 for d in dow}  # cron 0=Sun
+        dom_field, dow_field = self.expr.split()[2], self.expr.split()[4]
+        dom_ok = t.day in dom
+        dow_ok = t.weekday() in {(d - 1) % 7 for d in dow}  # cron 0=Sun
+        # Vixie-cron day rule (also croniter/Airflow): when BOTH day fields
+        # are restricted (neither is '*'), the day matches if EITHER does;
+        # when at most one is restricted, both are ANDed (the unrestricted
+        # one matches everything, so this degenerates to the restricted
+        # one). The reference's three DAGs use '*' for both, so they hit
+        # the AND branch either way.
+        day_ok = (
+            (dom_ok or dow_ok)
+            if dom_field != "*" and dow_field != "*"
+            else (dom_ok and dow_ok)
         )
+        return t.minute in m and t.hour in h and t.month in mon and day_ok
 
     def fires_between(
         self, start: dt.datetime, end: dt.datetime
@@ -132,7 +140,7 @@ class Scheduler:
     ):
         self.jobs = {j.name: j for j in jobs}
         self._last_tick = {j.name: start for j in jobs}
-        self._active: set[str] = set()
+        self._active: dict[str, int] = {}  # name -> live run count
         self.ledger: list[RunRecord] = []
         self._sleep = sleep
 
@@ -152,11 +160,11 @@ class Scheduler:
 
     def fire(self, name: str, scheduled_for: dt.datetime) -> RunRecord:
         job = self.jobs[name]
-        if name in self._active and len({name} & self._active) >= job.max_active_runs:
+        if self._active.get(name, 0) >= job.max_active_runs:
             rec = RunRecord(name, scheduled_for, "skipped_active", 0)
             self.ledger.append(rec)
             return rec
-        self._active.add(name)
+        self._active[name] = self._active.get(name, 0) + 1
         attempts = 0
         err: str | None = None
         try:
@@ -175,7 +183,9 @@ class Scheduler:
             self.ledger.append(rec)
             return rec
         finally:
-            self._active.discard(name)
+            self._active[name] -= 1
+            if self._active[name] <= 0:
+                del self._active[name]
 
 
 def reference_jobs(
