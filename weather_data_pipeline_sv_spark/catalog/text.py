@@ -1561,3 +1561,122 @@ def t12_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.count_tokens(d, "text", "n_tokens", tokenizer=tok.BUILTIN).select(
         "doc_id", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE3 — the INCREMENTAL corpus pipeline (operators/incremental.py): the
+# documents table arrives as three doc_id-ordered slices, each quality-
+# filtered, exact-deduped, and MinHash-LSH near-deduped against the
+# accumulated store state (hashes + shingles + bands of every exact-dedup
+# survivor, near-dup losers included — the greedy rule lets a dropped doc
+# still eliminate a later one). The oracle is the BATCH pipeline over the
+# whole corpus in one SQL statement: the incremental-equals-batch theorem
+# is the thing being hash-checked (the streaming foreachBatch front end of
+# the same operator is driven in tests/test_incremental_corpus.py).
+# Uncapped shingles on both sides: a df cap needs corpus-global counts,
+# which an incremental step by definition does not have.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe3_incremental_corpus",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, text, {_DUCK_TOKENS} AS tokens FROM documents
+      WHERE length(text) > 0
+    ), m AS (
+      SELECT doc_id, lang, text, tokens, len(tokens) AS n_tokens,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+               / len(tokens) AS mean_tok_len,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) > 0
+               AS has_stopword
+      FROM tk WHERE len(tokens) > 0
+    ), kept AS (
+      SELECT doc_id, lang, tokens, n_tokens, text FROM m
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND symbol_ratio < 0.3 AND has_stopword
+    ), uniq AS (
+      SELECT doc_id, lang, tokens, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+      FROM uniq WHERE len(tokens) >= 3
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+      FROM sh
+    ), sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band_id, CASE b.band_id {_BAND_CASES} END AS band_key
+      FROM sig CROSS JOIN (
+        SELECT unnest(generate_series(0, {_N_HASHES // _BAND_SIZE - 1})) AS band_id
+      ) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), losers AS (
+      SELECT DISTINCT i.doc_b FROM inter i
+      JOIN counts ca ON i.doc_a = ca.doc_id
+      JOIN counts cb ON i.doc_b = cb.doc_id
+      WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+    ), surv AS (
+      SELECT u.* FROM uniq u LEFT JOIN losers l ON u.doc_id = l.doc_b
+      WHERE l.doc_b IS NULL
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM surv GROUP BY lang
+    """,
+)
+def pipe3_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import process_corpus_batch
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "text"
+    )
+    # one scalar agg to place the two slice boundaries (Lloyd-style
+    # driver-side scalar, not a hot-path collect)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cuts = (max_id // 3, 2 * max_id // 3)
+    slices = [
+        docs.filter(F.col("doc_id") <= cuts[0]),
+        docs.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    store: tuple[DataFrame, DataFrame, DataFrame] | None = None
+    for sl in slices:
+        delta = process_corpus_batch(sl, *(store if store else (None, None, None)))
+        if store is None:
+            store = (delta["docs"], delta["shingles"], delta["bands"])
+        else:
+            store = tuple(
+                store[i].unionByName(delta[k]).localCheckpoint(eager=False)
+                for i, k in enumerate(("docs", "shingles", "bands"))
+            )
+    return (
+        store[0]
+        .filter(F.col("survivor"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
