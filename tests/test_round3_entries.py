@@ -1,0 +1,215 @@
+"""Round-3 catalog entries: semantic dedup (v10), substring rewrite (d9),
+soft quality sampling (smp4), salted skew join (j9), Markov transitions
+(e4), token entropy (t13).
+
+The oracle sweep (tools/driver_sim.py) checks value parity with DuckDB;
+these tests pin the *semantic invariants* each operator promises — the
+properties that must survive refactoring even if the oracle SQL is edited
+in lockstep with the Spark code.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_sv_spark.catalog import all_queries
+from weather_data_pipeline_sv_spark.catalog.vector import (
+    _SEM_TAU,
+    cosine,
+)
+from weather_data_pipeline_sv_spark.sources import load_tables
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+# ---------------------------------------------------------------------------
+# v10 — SemDeDup
+# ---------------------------------------------------------------------------
+def test_v10_dropped_have_lower_id_witness(spark, sf_dir, queries):
+    """Every dropped vector has a KEPT-or-dropped lower-id cluster-mate at
+    cosine >= tau; every kept vector has none (the defining predicate)."""
+    out = queries["v10_semantic_dedup"](spark, sf_dir)
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    full = out.join(emb, "vec_id")
+    a = full.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "list_id"
+    )
+    b = full.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        "list_id",
+        F.col("kept").alias("kept_b"),
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+    )
+    witness = (
+        pairs.filter(F.col("cos") >= _SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    flags = {r["vec_id"]: r["kept"] for r in out.collect()}
+    witnessed = {r["vec_id"] for r in witness.collect()}
+    for vid, kept in flags.items():
+        assert kept == (vid not in witnessed), vid
+
+
+def test_v10_partition_invariant(spark, sf_dir, queries):
+    out = queries["v10_semantic_dedup"](spark, sf_dir)
+    base = sorted(map(tuple, out.collect()))
+    again = sorted(map(tuple, out.repartition(13).collect()))
+    assert base == again
+
+
+# ---------------------------------------------------------------------------
+# d9 — exact-substring rewrite
+# ---------------------------------------------------------------------------
+def test_d9_counts_consistent_with_d8(spark, sf_dir, queries):
+    """Docs that d8 reports with zero duplicated windows must lose zero
+    tokens in d9; docs with dup windows must lose >= window length."""
+    d8 = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in queries["d8_exact_substring_spans"](spark, sf_dir).collect()
+    }
+    d9 = queries["d9_substring_rewrite"](spark, sf_dir).collect()
+    for r in d9:
+        dup = d8.get(r["doc_id"], 0)
+        if dup == 0:
+            assert r["n_removed"] == 0, r
+        else:
+            assert r["n_removed"] >= 8, r  # at least one full window cut
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+
+
+def test_d9_clean_md5_matches_manual_rebuild(spark, sf_dir, queries):
+    """Recompute one affected doc's cleaned text in plain Python."""
+    rows = queries["d9_substring_rewrite"](spark, sf_dir)
+    affected = rows.filter(F.col("n_removed") > 0).orderBy("doc_id").first()
+    if affected is None:
+        pytest.skip("no duplicated windows at this SF")
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_tables(spark, sf_dir, "documents")["documents"].collect()
+    }
+    L = 8
+    # recompute global dup window hashes
+    import hashlib
+
+    def windows(text):
+        toks = text.strip().lower().split()
+        return toks, [
+            " ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)
+        ]
+
+    seen: dict[str, set[int]] = {}
+    for did, text in docs.items():
+        for w in set(windows(text)[1]):
+            seen.setdefault(w, set()).add(did)
+    dup = {w for w, dids in seen.items() if len(dids) > 1}
+    toks, wins = windows(docs[affected["doc_id"]])
+    covered = set()
+    for i, w in enumerate(wins):
+        if w in dup:
+            covered.update(range(i, i + L))
+    clean = " ".join(t for i, t in enumerate(toks) if i not in covered)
+    assert hashlib.md5(clean.encode()).hexdigest() == affected["clean_md5"]
+    assert affected["n_removed"] == len(covered)
+
+
+# ---------------------------------------------------------------------------
+# smp4 — soft quality sampling
+# ---------------------------------------------------------------------------
+def test_smp4_deterministic_and_weight_monotone(spark, sf_dir, queries):
+    out = queries["smp4_soft_quality_sample"](spark, sf_dir)
+    once = sorted(map(tuple, out.collect()))
+    again = sorted(map(tuple, out.repartition(7).collect()))
+    assert once == again
+    # weight-1 docs are kept iff u < 1 (always); all weights in (0, 1]
+    for r in once:
+        assert 0 < r[3] <= 1.0
+
+
+def test_smp4_is_subset_of_documents(spark, sf_dir, queries):
+    kept = queries["smp4_soft_quality_sample"](spark, sf_dir)
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    missing = kept.join(docs, "doc_id", "left_anti")
+    assert missing.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# j9 — salted skew join
+# ---------------------------------------------------------------------------
+def test_j9_equals_plain_join(spark, sf_dir, queries):
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    plain = (
+        t["lineitem"]
+        .join(t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    expected = {r["p_brand"]: r["n_lines"] for r in plain.collect()}
+    got = {
+        r["p_brand"]: r["n_lines"]
+        for r in queries["j9_salted_skew_join"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# e4 — Markov transitions
+# ---------------------------------------------------------------------------
+def test_e4_probs_sum_to_one_per_prev(spark, sf_dir, queries):
+    rows = queries["e4_markov_transitions"](spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+        assert 0 < r["prob"] <= 1.0
+        assert r["n_transitions"] > 0
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 5e-4, (prev, total)  # rounding at 4 dp
+
+
+def test_e4_transition_total_matches_event_count(spark, sf_dir, queries):
+    """Σ transitions = Σ (events per user - 1) over users with >= 1 event."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    expected = (
+        per_user.agg(F.sum(F.col("n") - 1).alias("t")).first()["t"]
+    )
+    got = (
+        queries["e4_markov_transitions"](spark, sf_dir)
+        .agg(F.sum("n_transitions").alias("t"))
+        .first()["t"]
+    )
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# t13 — token entropy
+# ---------------------------------------------------------------------------
+def test_t13_entropy_bounds(spark, sf_dir, queries):
+    rows = queries["t13_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= log2(n_types) <= log2(n_tokens), TTR in (0, 1]
+        assert -1e-4 <= r["entropy"] <= math.log2(max(r["n_types"], 1)) + 1e-4, r
+        assert 0 < r["type_token_ratio"] <= 1.0
+        assert r["n_types"] <= r["n_tokens"]
+
+
+def test_t13_uniform_doc_hits_log2_bound(spark, sf_dir, queries):
+    """A doc whose tokens are all distinct has H = log2(n) exactly."""
+    rows = queries["t13_token_entropy"](spark, sf_dir).collect()
+    for r in rows:
+        if r["n_types"] == r["n_tokens"]:
+            assert abs(r["entropy"] - round(math.log2(r["n_tokens"]), 4)) < 1e-3

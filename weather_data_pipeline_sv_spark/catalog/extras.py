@@ -363,3 +363,59 @@ def e3_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         rnd(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e4 — Markov transition matrix over per-user event sequences: for every
+# (prev_type -> event_type) pair, the transition count and the conditional
+# probability P(next | prev). The standard substrate for session-flow
+# analysis and sequence-model sanity checks over behavioural logs.
+# Plan: one window (LAG) keyed on user_id — the same shuffle a sessionize
+# pays — then a hash agg over a domain-bounded key pair (|event types|²
+# rows at most), so the final stages are tiny no matter the corpus size.
+# Ordering inside a user is (ts, event_id): event_id breaks timestamp ties
+# deterministically in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "e4_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+           floor((n_transitions * 1.0 /
+                  sum(n_transitions) OVER (PARTITION BY prev_type)) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS prob
+    FROM pairs
+    """,
+)
+def e4_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        rnd(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(per_prev), 4
+        ).alias("prob"),
+    )

@@ -1680,3 +1680,228 @@ def pipe3_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SMP4 — soft (weighted) quality sampling: instead of t5's hard keep/drop,
+# each document survives with probability proportional to a quality weight
+# (CCNet/FineWeb-style soft filtering — long-enough docs keep weight 1,
+# short docs decay linearly, symbol-heavy docs are down-weighted 4×).
+# Membership is u(doc_id) < weight with the md5-derived U[0,1) from
+# operators/sampling.py — a pure function of doc_id, so the kept set is
+# reproducible across runs, engines, and repartitionings. Plan: one narrow
+# map-side filter over the scan; zero shuffles at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "smp4_soft_quality_sample",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, text, {_DUCK_TOKENS} AS tokens FROM documents
+      WHERE length(text) > 0
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM tk WHERE len(tokens) > 0
+    ), wgt AS (
+      SELECT doc_id, source, n_tokens,
+             least(1.0, n_tokens / 200.0)
+               * (CASE WHEN symbol_ratio < 0.3 THEN 1.0 ELSE 0.25 END) AS weight,
+             {hash_uniform_sql('doc_id', 'soft')} AS u
+      FROM m
+    )
+    SELECT doc_id, source, n_tokens,
+           floor((weight) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS weight
+    FROM wgt WHERE u < weight
+    """,
+)
+def smp4_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_uniform
+
+    d = _docs_with_tokens(spark, sf_dir).filter(
+        (F.length("text") > 0) & (F.col("n_tokens") > 0)
+    )
+    symbol_ratio = (
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        / F.length("text")
+    )
+    weight = F.least(
+        F.lit(1.0), F.col("n_tokens").cast("bigint") / F.lit(200.0)
+    ) * F.when(symbol_ratio < 0.3, F.lit(1.0)).otherwise(F.lit(0.25))
+    return (
+        d.withColumn("weight", weight)
+        .filter(hash_uniform(F.col("doc_id"), "soft") < F.col("weight"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            rnd(F.col("weight"), 4).alias("weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T13 — per-document token entropy + type/token ratio: the lexical-
+# diversity pair of quality signals (repetitive/templated text scores low
+# entropy; keyword-stuffed text scores low TTR). Entropy uses the
+# algebraic form H = log2(n) - (Σ c·log2 c)/n so one hash agg computes it
+# without a second pass for n — partial-aggregated map-side, one shuffle
+# on doc_id at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "t13_token_entropy",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(tokens) AS token FROM tk WHERE len(tokens) > 0
+    ), cnt AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    ), per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             sum(c * log2(c)) AS s
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_types, n_tokens,
+           floor((log2(n_tokens) - s / n_tokens) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS entropy,
+           floor((n_types * 1.0 / n_tokens) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS type_token_ratio
+    FROM per
+    """,
+)
+def t13_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    return per.select(
+        "doc_id",
+        "n_types",
+        "n_tokens",
+        rnd(F.log2("n_tokens") - F.col("s") / F.col("n_tokens"), 4).alias("entropy"),
+        rnd(F.col("n_types") * 1.0 / F.col("n_tokens"), 4).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9 — exact-substring dedup REWRITE (the destructive half of d8): every
+# token covered by an 8-token window that appears verbatim in more than
+# one document is cut, and the document is reassembled from the surviving
+# tokens (Lee et al. 2022's "deduplicating training data" applied at
+# window granularity). Output carries md5(clean_text) so the oracle checks
+# the reconstruction byte-for-byte without shipping full texts through the
+# hash compare. Plan: window-hash explode → per-hash distinct-doc agg →
+# dup-start join → covered-position explode (≤ L× the dup starts, never
+# the corpus) → anti join on (doc_id, pos) → one sort-free per-doc rebuild
+# via sort_array(collect_list(struct)). No self-join of the corpus at any
+# stage — boilerplate shared by 10⁶ docs costs one row per occurrence.
+# ---------------------------------------------------------------------------
+@register(
+    "d9_substring_rewrite",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), win AS (
+      SELECT doc_id, u.i,
+             md5(array_to_string(tokens[u.i:u.i+{_SUBSTR_L - 1}], ' ')) AS wh
+      FROM tk, unnest(generate_series(1, len(tokens) - {_SUBSTR_L - 1})) AS u(i)
+      WHERE len(tokens) >= {_SUBSTR_L}
+    ), dupw AS (
+      SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+    ), covered AS (
+      SELECT DISTINCT w.doc_id, c.pos
+      FROM win w JOIN dupw USING (wh),
+           unnest(generate_series(w.i, w.i + {_SUBSTR_L - 1})) AS c(pos)
+    ), toks AS (
+      SELECT t.doc_id, u.pos, t.tokens[u.pos] AS token
+      FROM tk t, unnest(generate_series(1, len(t.tokens))) AS u(pos)
+    ), kept AS (
+      SELECT k.doc_id,
+             count(*) AS n_kept,
+             md5(string_agg(k.token, ' ' ORDER BY k.pos)) AS clean_md5
+      FROM toks k
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = k.doc_id AND c.pos = k.pos)
+      GROUP BY k.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           CAST(len(t.tokens) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           floor(((len(t.tokens) - coalesce(k.n_kept, 0)) * 1.0 / len(t.tokens))
+                 * 10000.0 + 0.5 + 1e-6) / 10000.0 AS removed_frac,
+           coalesce(k.clean_md5, md5('')) AS clean_md5
+    FROM tk t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def d9_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_tokens(spark, sf_dir)
+    win_expr = (
+        f"transform(sequence(1, size(tokens) - {_SUBSTR_L - 1}), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i, {_SUBSTR_L}))))"
+    )
+    win = (
+        base.filter(F.col("n_tokens") >= _SUBSTR_L)
+        .select("doc_id", F.posexplode(F.expr(win_expr)).alias("p0", "wh"))
+        .select("doc_id", (F.col("p0") + 1).alias("i"), "wh")
+    )
+    dupw = (
+        win.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("wh")
+    )
+    covered = (
+        win.join(dupw, "wh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(_SUBSTR_L - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("tokens").alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda x: x["token"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    n_removed = F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_removed.cast("long").alias("n_removed"),
+            rnd(n_removed * 1.0 / F.col("n_tokens"), 4).alias("removed_frac"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )

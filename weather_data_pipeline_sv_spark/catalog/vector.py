@@ -613,3 +613,75 @@ def v9_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(shared * 1.0 / _TOP_K, 4).alias("overlap_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V10 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus
+# with the SAME deterministic k-means as v4 (lowest-id seeds, 2 Lloyd
+# steps), then inside each cluster drop every vector that has a
+# lower-id cluster-mate with cosine ≥ τ. The cluster blocking is the
+# whole point at scale: candidate pairs are Σ n_cluster², never n² — the
+# O(n²) within-cluster check runs on partitions an order of magnitude
+# smaller than the corpus, and the shuffle key is list_id. The oracle
+# replays the full Lloyd chain (shared CTE builders with v4) AND the
+# dedup predicate, so the clustering itself is value-checked, not just
+# the pair filter.
+# ---------------------------------------------------------------------------
+_SEM_LISTS = 8
+_SEM_TAU = 0.45
+
+
+@register(
+    "v10_semantic_dedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+             emb AS centroid
+      FROM v ORDER BY vec_id LIMIT {_SEM_LISTS}
+    ),
+    {_duck_assign('a0', 'c0')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs
+      WHERE {rnd_sql('cos', 6)} >= {_SEM_TAU}
+    )
+    SELECT s.vec_id, s.list_id, d.vec_id IS NULL AS kept
+    FROM assigned s LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    cent = sim.ivf_centroids(emb, n_lists=_SEM_LISTS, n_iter=2)
+    assigned = sim.ivf_assign(emb, cent)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "list_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "list_id"
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(_SEM_TAU)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "list_id", F.col("__dropped").isNull().alias("kept")
+    )
