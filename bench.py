@@ -82,11 +82,23 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # min-of-2 per query, matching the committed BENCH_SF1/SF3 protocol
+    # (min-of-3 there): this box shows intermittent 2-4x CPU-steal spikes
+    # on random queries (measured 72.9 / 127.4 / 78.1 s totals for the
+    # identical suite back-to-back), and the min is the standard estimator
+    # for the machine's actual capability under external noise.
+    N_RUNS = 2
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         # release session state between queries so timings are independent:
         # cached frames and (crucially) localCheckpoint blocks from the
         # dedup/persist operators otherwise accumulate in executor storage
@@ -128,7 +140,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (noop sink), local["
+                "metric": "headline query wall-clock (noop sink, min of 2 runs), local["
                 + os.environ.get("SPARK_GRAFT_CPUS", "32")
                 + "]",
                 "value": round(sum(timings.values()), 3),

@@ -1500,12 +1500,23 @@ def pipe2_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = corp.join(
         decon.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
     )
+    # `clean` heads three consumers (LSH pairs, survivor anti-join, final
+    # join): lazily checkpoint so the quality-regex + window-dedup +
+    # decontamination prefix is computed once, not once per branch —
+    # exchange reuse alone doesn't cover the pre-shuffle map work, and the
+    # regexp passes over full text dominate it. Measured at sf0.1: cold
+    # pipe2 13.4 s → see commit; blocks are session-scoped (cleared by the
+    # bench's clearCache between queries).
+    clean = clean.localCheckpoint(eager=False)
     # stage 4 — MinHash-LSH near-dup removal (d3 machinery)
     pairs = dd.minhash_lsh_pairs(
         clean, "doc_id", "text", n=3,
         n_hashes=_N_HASHES, band_size=_BAND_SIZE, threshold=0.5,
     )
     survivors = dd.drop_near_duplicates(clean, "doc_id", pairs)
+    # same fan-out shape: survivors feed the bigram explode AND the final
+    # join — checkpoint once
+    survivors = survivors.localCheckpoint(eager=False)
     # stage 5 — bigram LM on the survivors, filter low-likelihood docs
     surv_tok = survivors.withColumn("tokens", F.expr(_SPARK_TOKENS))
     bg = surv_tok.filter(F.size("tokens") >= 2).select(
