@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     "m2_byte_histogram",
     "pipe1_training_data_pipeline",
     "pipe2_full_corpus_pipeline",
+    # round-3 additions
+    "d9_substring_rewrite",
+    "v10_semantic_dedup",
+    "e4_markov_transitions",
+    "j9_salted_skew_join",
+    "smp4_soft_quality_sample",
+    "t13_token_entropy",
+    "g1_pagerank",
 ]
 
 
@@ -87,7 +95,7 @@ def main() -> None:
     # on random queries (measured 72.9 / 127.4 / 78.1 s totals for the
     # identical suite back-to-back), and the min is the standard estimator
     # for the machine's actual capability under external noise.
-    N_RUNS = 2
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None

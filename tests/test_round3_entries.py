@@ -213,3 +213,26 @@ def test_t13_uniform_doc_hits_log2_bound(spark, sf_dir, queries):
     for r in rows:
         if r["n_types"] == r["n_tokens"]:
             assert abs(r["entropy"] - round(math.log2(r["n_tokens"]), 4)) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# g1 — PageRank
+# ---------------------------------------------------------------------------
+def test_g1_mass_conserved_and_positive(spark, sf_dir, queries):
+    rows = queries["g1_pagerank"](spark, sf_dir).collect()
+    total = sum(r["pagerank"] for r in rows)
+    # teleport + damped mass over a dangling-free graph sums to 1
+    assert abs(total - 1.0) < 1e-5, total
+    assert all(r["pagerank"] > 0 for r in rows)
+    n_nodes = len(rows)
+    # every node emits k=3 edges (block size > k in the testdata), so
+    # total in-degree is 3N
+    assert sum(r["in_deg"] for r in rows) == 3 * n_nodes
+
+
+def test_g1_high_indegree_outranks_orphans(spark, sf_dir, queries):
+    rows = queries["g1_pagerank"](spark, sf_dir).collect()
+    orphans = [r["pagerank"] for r in rows if r["in_deg"] == 0]
+    hubs = [r["pagerank"] for r in rows if r["in_deg"] >= 6]
+    if orphans and hubs:
+        assert max(orphans) < max(hubs)

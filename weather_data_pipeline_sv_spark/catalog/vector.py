@@ -685,3 +685,115 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id", "list_id", F.col("__dropped").isNull().alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# G1 — PageRank (3 unrolled iterations, d=0.85) over the v6 kNN graph:
+# the canonical iterative-graph workload, exercised the way a Spark
+# cluster actually runs it — edges checkpointed once, each iteration one
+# equi-join + hash agg on the destination key, rank vector rebuilt against
+# the full node set so zero-in-degree nodes keep the teleport mass. The
+# oracle unrolls the same three iterations as CTEs, so every intermediate
+# rank vector is value-checked, not just the fixed point. Per-node
+# centrality over a kNN graph is the standard diversity/representativeness
+# signal for corpus curation (cf. graph-based data pruning).
+# ---------------------------------------------------------------------------
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _duck_pr_iter(name: str, prev: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT n.vec_id,
+             (1 - {_PR_D}) / nn.n
+               + {_PR_D} * coalesce(sum(p.r / od.od), 0) AS r
+      FROM v n CROSS JOIN nn
+      LEFT JOIN e ON e.dst = n.vec_id
+      LEFT JOIN {prev} p ON p.vec_id = e.src
+      LEFT JOIN od ON od.src = e.src
+      GROUP BY n.vec_id, nn.n
+    )"""
+
+
+@register(
+    "g1_pagerank",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY floor((cos) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    ),
+    e AS (
+      SELECT vec_id AS src, neighbor_id AS dst FROM ranked
+      WHERE rank <= {_KNN_K}
+    ),
+    od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM v),
+    r0 AS (SELECT v.vec_id, 1.0 / nn.n AS r FROM v CROSS JOIN nn),
+    {_duck_pr_iter('r1', 'r0')},
+    {_duck_pr_iter('r2', 'r1')},
+    {_duck_pr_iter('r3', 'r2')},
+    deg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst)
+    SELECT r3.vec_id,
+           floor((r3.r) * 1000000000.0 + 0.5 + 1e-6) / 1000000000.0
+             AS pagerank,
+           CAST(coalesce(deg.in_deg, 0) AS BIGINT) AS in_deg
+    FROM r3 LEFT JOIN deg ON deg.dst = r3.vec_id
+    """,
+)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        v6_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        # three iterations re-read the edge list; checkpoint the kNN
+        # search once instead of running it per iteration
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ew = edges.join(outdeg, "src")
+    nodes = (
+        ensure_min_parallelism(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+        .select("vec_id")
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    base = nodes.crossJoin(F.broadcast(n_df))
+    ranks = base.select("vec_id", (F.lit(1.0) / F.col("__n")).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("od")).alias("__c"))
+        )
+        ranks = (
+            base.join(contrib, base["vec_id"] == contrib["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    (1 - _PR_D) / F.col("__n")
+                    + _PR_D * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        ranks.join(in_deg, ranks["vec_id"] == in_deg["dst"], "left")
+        .select(
+            "vec_id",
+            rnd(F.col("r"), 9).alias("pagerank"),
+            F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
