@@ -236,3 +236,51 @@ def test_g1_high_indegree_outranks_orphans(spark, sf_dir, queries):
     hubs = [r["pagerank"] for r in rows if r["in_deg"] >= 6]
     if orphans and hubs:
         assert max(orphans) < max(hubs)
+
+
+# ---------------------------------------------------------------------------
+# c13/c14/c15 — TPC-H Q6/Q8/Q9 shapes
+# ---------------------------------------------------------------------------
+def _plan(spark, sf_dir, queries, name):
+    return (
+        queries[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_c13_scan_efficiency(spark, sf_dir, queries):
+    """Q6 shape: predicates pushed to the scan, pruned column set, no
+    shuffle other than the single-row aggregation."""
+    plan = _plan(spark, sf_dir, queries, "c13_forecast_revenue")
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruned: the scan must not read l_orderkey/l_partkey
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_c14_single_fact_shuffle(spark, sf_dir, queries):
+    """Q8 shape: all seven dimension joins broadcast; the only shuffle is
+    the final (year) aggregation exchange."""
+    plan = _plan(spark, sf_dir, queries, "c14_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_c14_shares_in_unit_interval(spark, sf_dir, queries):
+    for r in queries["c14_market_share"](spark, sf_dir).collect():
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_volume"] > 0
+
+
+def test_c15_group_domain_bounded(spark, sf_dir, queries):
+    rows = queries["c15_profit_by_nation"](spark, sf_dir).collect()
+    assert rows
+    # (nation, year) key domain is bounded: 25 nations x 8 years
+    assert len(rows) <= 25 * 8
+    assert len({(r["nation"], r["o_year"]) for r in rows}) == len(rows)

@@ -605,3 +605,183 @@ def c12_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# c13 — forecast revenue change (TPC-H Q6 shape): the purest
+# scan-efficiency probe in the suite — single table, three range
+# predicates, one global sum. All three predicates reach the parquet scan
+# as PushedFilters (year bounds on l_shipdate, discount band, quantity
+# cap); at 100 TB this query is I/O-bound and its cost is exactly the
+# pruned scan.
+# ---------------------------------------------------------------------------
+@register(
+    "c13_forecast_revenue",
+    oracle=f"""
+    SELECT {rnd_sql('sum(l_extendedprice * l_discount)', 2)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def c13_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c14 — national market share inside a region (TPC-H Q8 shape): the
+# deepest join in the catalog — lineitem ⨝ part ⨝ supplier ⨝ orders ⨝
+# customer ⨝ nation×2 ⨝ region (7 joins, nation joined twice under two
+# roles). Plan intent: every dimension side broadcasts (part/supplier/
+# customer are bounded; nation/region tiny), so the fact table is scanned
+# once and never shuffled until the final (year) aggregation — at 100 TB
+# the query costs one fact pass + an 8-row agg.
+# ---------------------------------------------------------------------------
+@register(
+    "c14_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           {rnd_sql("sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END) / sum(volume)", 6)}
+             AS mkt_share,
+           {rnd_sql('sum(volume)', 2)} AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+)
+def c14_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir,
+        "lineitem", "part", "supplier", "orders", "customer", "nation", "region",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    reg = t["region"].filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("c_regionkey")
+    )
+    vol = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+            t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), "c_nationkey")
+        .join(F.broadcast(reg), "c_regionkey")
+        .join(F.broadcast(n2), "s_nationkey")
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return vol.groupBy("o_year").agg(
+        rnd(share, 6).alias("mkt_share"),
+        rnd(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c15 — profit by supplier nation and year (TPC-H Q9 shape, adapted: the
+# testdata has no partsupp, so unit cost is 80% of p_retailprice). Two
+# fact-dim broadcasts + one fact-fact equi-join, then a (nation, year)
+# rollup — the grouped key domain is bounded (25 × 7), so the final agg is
+# tiny regardless of fact size.
+# ---------------------------------------------------------------------------
+@register(
+    "c15_profit_by_nation",
+    oracle=f"""
+    WITH pl AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.8 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    )
+    SELECT nation, o_year, {rnd_sql('sum(amount)', 2)} AS sum_profit
+    FROM pl GROUP BY nation, o_year
+    """,
+)
+def c15_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    nat = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    pl = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%gear%"))),
+            t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), "s_nationkey")
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return pl.groupBy("nation", "o_year").agg(
+        rnd(F.sum("amount"), 2).alias("sum_profit")
+    )
