@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from weather_data_pipeline_sv_spark.catalog import all_queries
@@ -284,3 +285,36 @@ def test_c15_group_domain_bounded(spark, sf_dir, queries):
     # (nation, year) key domain is bounded: 25 nations x 8 years
     assert len(rows) <= 25 * 8
     assert len({(r["nation"], r["o_year"]) for r in rows}) == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# w6 — windowed EWMA
+# ---------------------------------------------------------------------------
+def test_w6_first_event_is_alpha_x(spark, sf_dir, queries):
+    """Each user's first event (singleton frame) folds to alpha * value."""
+    from weather_data_pipeline_sv_spark.functions.rounding import rnd as _rnd
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", _rnd(0.3 * F.col("value"), 6).alias("expect"))
+    )
+    got = queries["w6_ewma"](spark, sf_dir).join(first, "event_id")
+    bad = got.filter(F.col("ewma20") != F.col("expect")).count()
+    assert bad == 0
+
+
+def test_w6_bounded_by_frame_extremes(spark, sf_dir, queries):
+    """0 <= |ewma| <= max|value| * (1 - q^20)/(1)  — loose sanity: the
+    fold of a 20-frame with zero init is a convex-ish combination scaled
+    by < 1, so |ewma| can never exceed the global max |value|."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    vmax = ev.agg(F.max(F.abs("value")).alias("m")).first()["m"]
+    mx = (
+        queries["w6_ewma"](spark, sf_dir)
+        .agg(F.max(F.abs("ewma20")).alias("m"))
+        .first()["m"]
+    )
+    assert mx <= vmax + 1e-9

@@ -1487,3 +1487,50 @@ def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W6 — windowed exponential moving average (alpha=0.3 over the trailing 20
+# events per user): the time-decayed smoother every metrics/feature
+# pipeline ships. Deliberately the TRUNCATED form — the closed-form
+# q^-i trick overflows doubles past ~700 rows and an unbounded recursive
+# fold can't partition; a 20-row frame keeps the residual below q^20
+# ≈ 8e-4 of the signal while the window stays a single per-user shuffle.
+# Both engines fold the frame sequentially oldest-to-newest (Spark
+# F.aggregate, DuckDB list_reduce with a prepended zero init), so the
+# result is bit-identical, not merely close.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_WIN = 20
+
+
+@register(
+    "w6_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {rnd_sql(f'list_reduce(list_prepend(0.0, w), (a, b) -> a * {1 - _EWMA_ALPHA} + {_EWMA_ALPHA} * b)', 6)}
+             AS ewma20
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_WIN - 1} PRECEDING AND CURRENT ROW
+             ) AS w
+      FROM events
+    ) q
+    """,
+)
+def w6_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WIN - 1), 0)
+    )
+    frame = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        frame,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + F.lit(_EWMA_ALPHA) * x,
+    )
+    return ev.select("event_id", "user_id", rnd(fold, 6).alias("ewma20"))
