@@ -151,16 +151,19 @@ def test_smp4_is_subset_of_documents(spark, sf_dir, queries):
 # j9 — salted skew join
 # ---------------------------------------------------------------------------
 def test_j9_equals_plain_join(spark, sf_dir, queries):
-    t = load_tables(spark, sf_dir, "lineitem", "part")
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
     plain = (
         t["lineitem"]
-        .join(t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
-        .groupBy("p_brand")
+        .join(
+            t["supplier"],
+            t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"],
+        )
+        .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
-    expected = {r["p_brand"]: r["n_lines"] for r in plain.collect()}
+    expected = {r["s_nationkey"]: r["n_lines"] for r in plain.collect()}
     got = {
-        r["p_brand"]: r["n_lines"]
+        r["s_nationkey"]: r["n_lines"]
         for r in queries["j9_salted_skew_join"](spark, sf_dir).collect()
     }
     assert got == expected

@@ -1444,43 +1444,46 @@ def p6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J9 — salted replicate join on a skew-prone fact key: lineitem ⋈ part
+# J9 — salted replicate join on a skew-prone fact key: lineitem ⋈ supplier
 # through operators/skew.py::salted_broadcast_replicate_join (build side
 # exploded n_salts×, probe side deterministically salted, join on
-# (key, salt)), then a per-brand revenue rollup. The oracle is the PLAIN
+# (key, salt)), then a per-nation revenue rollup. The oracle is the PLAIN
 # join + aggregate — the salting must be row-for-row invisible. At 100 TB
 # this is the fallback when one fact key floods a partition and AQE's
 # skew-split can't help (e.g. a sort-merge join forced by a non-broadcast
 # build side); the replicate factor bounds any single task at 1/n_salts of
-# the hot key. Skew-split behaviour of the UNSALTED path is pinned in
-# tests/test_scale_guards.py.
+# the hot key. The build side must be a BOUNDED dimension — the round-3
+# 10×/30× bench caught the original part-table variant replicating a
+# table that grows with the data (1.6M broadcast rows at 10×, 19 s);
+# supplier is the dim whose key actually skews lineitem. Skew-split
+# behaviour of the UNSALTED path is pinned in tests/test_scale_guards.py.
 # ---------------------------------------------------------------------------
 @register(
     "j9_salted_skew_join",
     oracle=f"""
-    SELECT p.p_brand,
+    SELECT s.s_nationkey,
            CAST(count(*) AS BIGINT) AS n_lines,
            {rnd_sql('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
            {rnd_sql('avg(l.l_quantity)', 4)} AS avg_qty
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    GROUP BY p.p_brand
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
     """,
 )
 def j9_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_broadcast_replicate_join
 
-    t = load_tables(spark, sf_dir, "lineitem", "part")
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
     li = t["lineitem"].select(
-        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
         "l_quantity",
     )
-    part = t["part"].select("p_partkey", "p_brand")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
     joined = salted_broadcast_replicate_join(
-        li, part, key="p_partkey", n_salts=8,
+        li, supp, key="s_suppkey", n_salts=8,
         probe_salt_cols=["l_orderkey", "l_linenumber"],
     )
-    return joined.groupBy("p_brand").agg(
+    return joined.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"

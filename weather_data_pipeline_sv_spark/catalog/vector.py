@@ -230,7 +230,7 @@ _N_PROBE = 4
 _D2 = "list_sum(list_transform(generate_series(1, {dim}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 
 
-def _duck_assign(name: str, cent: str) -> str:
+def _duck_assign(name: str, cent: str, table: str = "v") -> str:
     d2 = rnd_sql(_D2.format(dim=_DIM, a="v.emb", b="c.centroid"), 9)
     return f"""
     {name} AS (
@@ -238,7 +238,7 @@ def _duck_assign(name: str, cent: str) -> str:
         SELECT v.vec_id, v.emb, c.list_id,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {d2} ASC, c.list_id ASC) AS rn
-        FROM v CROSS JOIN {cent} c
+        FROM {table} v CROSS JOIN {cent} c
       ) WHERE rn = 1
     )"""
 
@@ -341,22 +341,59 @@ def v5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exchange on the block id followed by a per-vector window. The exact
 # variant of the same shape is v1 (brute force); the recall/cost trade is
 # the same one v4's IVF probe count tunes.
+#
+# Scale guard (round-3 fix, found by the 30× bench): label blocks GROW
+# with the corpus (group-by attributes are fixed-cardinality), so pure
+# label blocking is quadratic in disguise — 6k-vector blocks at 30× drove
+# the g1 PageRank edge build to 380 s. Blocks larger than _BLOCK_CAP are
+# sub-bucketed by vec_id % ceil(n_label/_BLOCK_CAP) — the same integer
+# rule both engines evaluate, so the approximation itself stays
+# oracle-checked. At the correctness scales (≤250-vector blocks) the
+# bucket count is 1 and results are bit-identical to unbucketed blocking.
 # ---------------------------------------------------------------------------
 _KNN_K = 3
+_BLOCK_CAP = 250
+
+_DUCK_BLOCKED_V = f"""
+    v AS (
+      SELECT vec_id, label, emb,
+             vec_id % CAST(greatest(1, ceil(nl / {_BLOCK_CAP}.0)) AS BIGINT)
+               AS bkt
+      FROM (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               count(*) OVER (PARTITION BY label) AS nl
+        FROM embeddings
+      )
+    )
+"""
+
+
+def _blocked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select("vec_id", "label", _as_double(F.col("embedding")).alias("emb"))
+    nl = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__nl"))
+    nb = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("__nl") / F.lit(float(_BLOCK_CAP)))
+    )
+    return (
+        emb.join(F.broadcast(nl), "label")
+        .withColumn("bkt", (F.col("vec_id") % nb).cast("long"))
+        .drop("__nl")
+    )
 
 
 @register(
     "v6_knn_graph",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
-    ),
+    WITH {_DUCK_BLOCKED_V},
     pairs AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
              list_dot_product(a.emb, b.emb)
                / (sqrt(list_dot_product(a.emb, a.emb))
                   * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
     ),
     ranked AS (
       SELECT vec_id, neighbor_id, cos,
@@ -372,19 +409,17 @@ _KNN_K = 3
     """,
 )
 def v6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_min_parallelism(
-        load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    ).select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
-    )
+    emb = _blocked_corpus(spark, sf_dir)
     other = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
+        F.col("bkt").alias("n_bkt"),
         F.col("emb").alias("n_emb"),
     )
     pairs = emb.join(
         other,
         (F.col("label") == F.col("n_label"))
+        & (F.col("bkt") == F.col("n_bkt"))
         & (F.col("vec_id") != F.col("neighbor_id")),
     ).select("vec_id", "neighbor_id", cosine(F.col("emb"), F.col("n_emb")).alias("cos"))
     w = Window.partitionBy("vec_id").orderBy(
@@ -620,15 +655,21 @@ def v9_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the SAME deterministic k-means as v4 (lowest-id seeds, 2 Lloyd
 # steps), then inside each cluster drop every vector that has a
 # lower-id cluster-mate with cosine ≥ τ. The cluster blocking is the
-# whole point at scale: candidate pairs are Σ n_cluster², never n² — the
-# O(n²) within-cluster check runs on partitions an order of magnitude
-# smaller than the corpus, and the shuffle key is list_id. The oracle
-# replays the full Lloyd chain (shared CTE builders with v4) AND the
-# dedup predicate, so the clustering itself is value-checked, not just
-# the pair filter.
+# whole point at scale: candidate pairs are Σ n_cluster², never n².
+#
+# Scale sizing (round-3 fix, found by the 30× bench): a FIXED cluster
+# count is quadratic in disguise — 8 lists over 180k vectors meant 2e9
+# within-cluster pairs (173 s at 30×). Cluster count now scales as
+# ceil(n/250) (target block ≈ 250 → pairs ≈ 125·n, linear) and Lloyd
+# trains on a deterministic id-stride sample of ≤~4000 vectors, the
+# standard IVF practice. Both knobs are integer functions of the corpus
+# count that the DuckDB oracle evaluates identically, so the clustering
+# REMAINS value-checked at every scale; at sf0.01 (n=500 → k=8, stride
+# 1) results are bit-identical to the fixed-k round-3 original.
 # ---------------------------------------------------------------------------
-_SEM_LISTS = 8
 _SEM_TAU = 0.45
+_SEM_BLOCK = 250
+_SEM_TRAIN = 4000
 
 
 @register(
@@ -636,14 +677,23 @@ _SEM_TAU = 0.45
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
-             emb AS centroid
-      FROM v ORDER BY vec_id LIMIT {_SEM_LISTS}
+    prm AS (
+      SELECT CAST(greatest(8, ceil(count(*) / {_SEM_BLOCK}.0)) AS BIGINT) AS k,
+             CAST(greatest(1, count(*) // {_SEM_TRAIN}) AS BIGINT) AS m
+      FROM v
     ),
-    {_duck_assign('a0', 'c0')},
+    vt AS (SELECT v.* FROM v CROSS JOIN prm WHERE v.vec_id % prm.m = 0),
+    c0 AS (
+      SELECT list_id, centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS list_id,
+               emb AS centroid
+        FROM vt
+      ) x CROSS JOIN prm WHERE x.list_id < prm.k
+    ),
+    {_duck_assign('a0', 'c0', 'vt')},
     {_duck_recompute('c1', 'a0', 'c0')},
-    {_duck_assign('a1', 'c1')},
+    {_duck_assign('a1', 'c1', 'vt')},
     {_duck_recompute('c2', 'a1', 'c1')},
     {_duck_assign('assigned', 'c2')},
     pairs AS (
@@ -664,8 +714,19 @@ _SEM_TAU = 0.45
 )
 def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = _corpus_and_queries(spark, sf_dir)
-    cent = sim.ivf_centroids(emb, n_lists=_SEM_LISTS, n_iter=2)
-    assigned = sim.ivf_assign(emb, cent)
+    # k and the training stride are integer functions of the corpus count
+    # (mirrored in the oracle's `prm` CTE); the count is one columnar
+    # scan, the same driver-side scalar the Lloyd trainer needs anyway
+    n = emb.count()
+    k = max(8, -(-n // _SEM_BLOCK))
+    m = max(1, n // _SEM_TRAIN)
+    train = emb.filter(F.col("vec_id") % m == 0)
+    cent = sim.ivf_centroids(train, n_lists=k, n_iter=2)
+    # the assignment heads three consumers (both pair sides + the final
+    # join): checkpoint so the nearest-centroid pass runs once, not 3×
+    # (measured 146 → ~30 s at the 30× dir together with the
+    # literal-path crossover fix in operators/similarity.py)
+    assigned = sim.ivf_assign(emb, cent).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "list_id"
     )
@@ -719,15 +780,14 @@ def _duck_pr_iter(name: str, prev: str) -> str:
 @register(
     "g1_pagerank",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
-    ),
+    WITH {_DUCK_BLOCKED_V},
     pairs AS (
       SELECT a.vec_id, b.vec_id AS neighbor_id,
              list_dot_product(a.emb, b.emb)
                / (sqrt(list_dot_product(a.emb, a.emb))
                   * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
     ),
     ranked AS (
       SELECT vec_id, neighbor_id,

@@ -40,7 +40,16 @@ _TWO32 = 4294967296.0
 #: blow up long before execution. The broadcast form keeps the identical
 #: argmin/array_sort expressions; only the centroid *data* moves out of
 #: the plan into a 1-row broadcast build side.
-IVF_LITERAL_MAX_LISTS = 500
+#:
+#: Crossover measured (round 3, 60k vectors / 240 lists / 64 dims, 30×
+#: dir): the literal path cost 22 s train + 14 s assign against 3.8 + 7.8
+#: for the broadcast path — whole-stage codegen compiles the k × dim
+#: constant into the generated class, and janino compile time grows
+#: super-linearly in plan size well before the 500-list serialization
+#: cliff. 64 keeps the no-join literal win for the common small-k probes
+#: (v4 trains at 16) and hands everything bigger to the broadcast form;
+#: both paths are pinned bit-identical in tests/test_scale_guards.py.
+IVF_LITERAL_MAX_LISTS = 64
 
 
 def dot(a: Column, b: Column) -> Column:
