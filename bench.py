@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "smp4_soft_quality_sample",
     "t13_token_entropy",
     "g1_pagerank",
+    "v11_ann_recall",
 ]
 
 

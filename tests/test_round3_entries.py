@@ -321,3 +321,21 @@ def test_w6_bounded_by_frame_extremes(spark, sf_dir, queries):
         .first()["m"]
     )
     assert mx <= vmax + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# v11 — ANN recall eval
+# ---------------------------------------------------------------------------
+def test_v11_matches_set_intersection(spark, sf_dir, queries):
+    truth = {}
+    for r in queries["v1_cosine_topk"](spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann = {}
+    for r in queries["v3_ann_lsh"](spark, sf_dir).collect():
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in queries["v11_ann_recall"](spark, sf_dir).collect()}
+    assert set(got) == set(truth)
+    for qid, t in truth.items():
+        hits = len(t & ann.get(qid, set()))
+        assert got[qid]["n_hit"] == hits
+        assert 0.0 <= got[qid]["recall_at_k"] <= 1.0

@@ -857,3 +857,86 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_deg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V11 — ANN quality evaluation as a query: recall@5 of the v3 LSH index
+# against the v1 brute-force ground truth, per query and summarized. The
+# eval every ANN deployment runs before trading exactness for speed — and
+# because BOTH rankings' chains are engine-independent (md5 planes,
+# rounded tie-breaks), the recall numbers themselves are oracle-checked,
+# not just eyeballed. Plan: the ground-truth side is a broadcast-NL top-k
+# over N_QUERIES rows (bounded), the ANN side is the banded candidate
+# join — the eval costs no more than running both retrievals once.
+# ---------------------------------------------------------------------------
+@register(
+    "v11_ann_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_DUCK_PLANES},
+    bits AS (
+      SELECT v.vec_id, p.j,
+             CASE WHEN {rnd_sql('list_dot_product(v.emb, p.w)', 9)} >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes p
+    ),
+    sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS s FROM bits GROUP BY vec_id),
+    bands AS (
+      SELECT vec_id, b.b AS band_id, substr(s, b.b * {_BAND_SIZE} + 1, {_BAND_SIZE}) AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES // _BAND_SIZE - 1})) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY {rnd_sql(_DUCK_COS, 6)} DESC, cand.neighbor_id ASC) AS rank
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.query_id
+        JOIN v cv ON cv.vec_id = cand.neighbor_id
+      ) WHERE rank <= {_TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {rnd_sql("list_dot_product(q.emb, c.emb) / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))", 6)} DESC,
+                          c.vec_id ASC) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rank <= {_TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS INTEGER) AS n_hit,
+           floor((count(a.neighbor_id) * 1.0 / {_TOP_K}) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS recall_at_k
+    FROM truth t
+    LEFT JOIN ann a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def v11_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = v1_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = v3_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    hit = F.count(F.col("a_neighbor"))
+    return (
+        truth.join(
+            ann,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hit.cast("int").alias("n_hit"),
+            rnd(hit * 1.0 / _TOP_K, 4).alias("recall_at_k"),
+        )
+    )
