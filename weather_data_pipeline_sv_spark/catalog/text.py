@@ -28,6 +28,21 @@ from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd
 from . import register
 
+
+# Count of characters OUTSIDE [a-zA-Z0-9 ] — semantically identical to
+# regexp_count(text, '[^a-zA-Z0-9 ]') (the oracles keep the regex form)
+# but via the translate() char map: measured 2.25x faster over the 10x
+# documents dir (1.87 -> 0.83 s), and these quality filters run inside
+# every corpus pipeline stage-1 pass.
+_KEEP_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
+def _symbol_count():
+    return F.length(F.translate(F.col("text"), _KEEP_CHARS, ""))
+
+
 # token array from a document, identical semantics both engines
 _SPARK_TOKENS = "split(trim(lower(text)), '\\\\s+')"
 _DUCK_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -142,7 +157,7 @@ def t2_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count(F.col("text"), F.lit("[a-zA-Z]+")).cast("int").alias("n_word_tokens"),
         F.regexp_count(F.col("text"), F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("int").alias("n_symbol_tokens"),
+        _symbol_count().cast("int").alias("n_symbol_tokens"),
     )
 
 
@@ -480,7 +495,7 @@ def t5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_tok_len = total_len.cast("double") / F.col("n_tokens")
     symbol_ratio = (
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        _symbol_count().cast("double")
         / F.length("text")
     )
     # F.lit patterns reach the Java regex engine directly (no SQL-literal
@@ -766,7 +781,7 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_tok_len = total_len.cast("double") / F.col("n_tokens")
     symbol_ratio = (
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        _symbol_count().cast("double")
         / F.length("text")
     )
     has_stopword = F.regexp_count(
@@ -1468,7 +1483,7 @@ def pipe2_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_tok_len = total_len.cast("double") / F.col("n_tokens")
     symbol_ratio = (
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        _symbol_count().cast("double")
         / F.length("text")
     )
     has_stopword = F.regexp_count(
@@ -1734,7 +1749,7 @@ def smp4_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") > 0) & (F.col("n_tokens") > 0)
     )
     symbol_ratio = (
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        _symbol_count().cast("double")
         / F.length("text")
     )
     weight = F.least(
