@@ -801,6 +801,11 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text", "n_tokens")
+        # `uniq` heads two consumers (the shingle explode inside
+        # jaccard_pairs and the survivor anti-join): checkpoint so the
+        # quality-regex + window-dedup prefix computes once — the same
+        # fan-out fix measured on pipe2 (16.4 → 5.3 s at sf0.1)
+        .localCheckpoint(eager=False)
     )
     # stage 3 — near-dup removal among survivors (Jaccard >= 0.6, greedy)
     pairs = dd.jaccard_pairs(uniq, "doc_id", "text", n=3, threshold=0.6)
