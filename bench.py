@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "t13_token_entropy",
     "g1_pagerank",
     "v11_ann_recall",
+    "w6_ewma",
+    "c13_forecast_revenue",
+    "c14_market_share",
+    "c15_profit_by_nation",
 ]
 
 
