@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "c13_forecast_revenue",
     "c14_market_share",
     "c15_profit_by_nation",
+    "j10_full_outer_reconcile",
 ]
 
 

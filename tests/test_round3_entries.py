@@ -339,3 +339,33 @@ def test_v11_matches_set_intersection(spark, sf_dir, queries):
         hits = len(t & ann.get(qid, set()))
         assert got[qid]["n_hit"] == hits
         assert 0.0 <= got[qid]["recall_at_k"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# j10 — full-outer reconciliation / a20 — unpivot
+# ---------------------------------------------------------------------------
+def test_j10_covers_both_sides(spark, sf_dir, queries):
+    rows = queries["j10_full_outer_reconcile"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    n_order_days = t["orders"].select(
+        F.col("o_orderdate").cast("date")
+    ).distinct().count()
+    n_ship_days = t["lineitem"].select(
+        F.col("l_shipdate").cast("date")
+    ).distinct().count()
+    days = {r["d"] for r in rows}
+    assert len(days) == len(rows)  # one row per date
+    assert len(days) >= max(n_order_days, n_ship_days)
+    for r in rows:
+        if r["one_sided"]:
+            assert r["n_orders"] == 0 or r["n_lines"] == 0
+
+
+def test_a20_unpivot_is_pivot_inverse(spark, sf_dir, queries):
+    rows = queries["a20_unpivot_metrics"](spark, sf_dir).collect()
+    by_flag: dict[str, dict[str, float]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], {})[r["metric"]] = r["value"]
+    assert all(
+        set(m) == {"sum_qty", "avg_price", "avg_disc"} for m in by_flag.values()
+    )

@@ -785,3 +785,111 @@ def c15_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.groupBy("nation", "o_year").agg(
         rnd(F.sum("amount"), 2).alias("sum_profit")
     )
+
+
+# ---------------------------------------------------------------------------
+# j10 — FULL OUTER reconciliation: ordered revenue by day (orders) vs
+# shipped revenue by day (lineitem), full-outer on the date so days with
+# activity on only one side surface with NULL-coalesced zeros — the
+# standard two-ledger reconciliation shape (and the one join type the
+# catalog didn't yet exercise explicitly). Both inputs are pre-aggregated
+# to the join key before the join, so the full-outer runs on two
+# date-cardinality tables regardless of fact size.
+# ---------------------------------------------------------------------------
+@register(
+    "j10_full_outer_reconcile",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(o_totalprice) AS ordered_total,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             sum(l_extendedprice * (1 - l_discount)) AS shipped_total,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.d, l.d) AS d,
+           {rnd_sql('coalesce(o.ordered_total, 0)', 2)} AS ordered_total,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           {rnd_sql('coalesce(l.shipped_total, 0)', 2)} AS shipped_total,
+           CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+           (o.d IS NULL OR l.d IS NULL) AS one_sided
+    FROM o FULL OUTER JOIN l ON o.d = l.d
+    """,
+)
+def j10_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("ordered_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    l = (
+        t["lineitem"]
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "shipped_total"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    od, ld = o.alias("o"), l.alias("l")
+    return (
+        od.join(ld, F.col("o.d") == F.col("l.d"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.d"), F.col("l.d")).alias("d"),
+            rnd(F.coalesce(F.col("ordered_total"), F.lit(0)), 2).alias(
+                "ordered_total"
+            ),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            rnd(F.coalesce(F.col("shipped_total"), F.lit(0)), 2).alias(
+                "shipped_total"
+            ),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            (F.col("o.d").isNull() | F.col("l.d").isNull()).alias("one_sided"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a20 — UNPIVOT (melt): the per-returnflag quantity/price/discount
+# aggregate turned into (flag, metric, value) long form — the inverse of
+# a17's pivot and the shape every metrics store ingests. Spark expresses
+# it with stack(); the oracle uses DuckDB's UNPIVOT. The unpivot itself
+# is a narrow map over an already-tiny aggregate: no extra shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "a20_unpivot_metrics",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {rnd_sql('sum(l_quantity)', 2)} AS sum_qty,
+             {rnd_sql('avg(l_extendedprice)', 2)} AS avg_price,
+             {rnd_sql('avg(l_discount)', 4)} AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM agg UNPIVOT (value FOR metric IN (sum_qty, avg_price, avg_disc))
+    """,
+)
+def a20_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'avg_price', avg_price,"
+            " 'avg_disc', avg_disc) AS (metric, value)"
+        ),
+    )
