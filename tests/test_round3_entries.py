@@ -369,3 +369,31 @@ def test_a20_unpivot_is_pivot_inverse(spark, sf_dir, queries):
     assert all(
         set(m) == {"sum_qty", "avg_price", "avg_disc"} for m in by_flag.values()
     )
+
+
+# ---------------------------------------------------------------------------
+# a21 — histogram / a22 — statistical aggregates
+# ---------------------------------------------------------------------------
+def test_a21_shares_sum_to_one(spark, sf_dir, queries):
+    rows = queries["a21_value_histogram"](spark, sf_dir).collect()
+    per_type: dict[str, float] = {}
+    per_type_n: dict[str, int] = {}
+    for r in rows:
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0.0) + r["share"]
+        per_type_n[r["event_type"]] = per_type_n.get(r["event_type"], 0) + r["n"]
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_type_n == totals  # histogram partitions the events exactly
+    for t, s in per_type.items():
+        assert abs(s - 1.0) < 5e-3, (t, s)  # 4-dp rounding per bin
+
+
+def test_a22_corr_bounded_and_slope_consistent(spark, sf_dir, queries):
+    for r in queries["a22_stat_aggregates"](spark, sf_dir).collect():
+        assert -1.0 <= r["corr_qty_price"] <= 1.0
+        # slope and covariance must share a sign (var(qty) > 0)
+        if r["covar_qty_price"] != 0:
+            assert (r["slope_price_on_qty"] > 0) == (r["covar_qty_price"] > 0)

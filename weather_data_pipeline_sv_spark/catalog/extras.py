@@ -419,3 +419,78 @@ def e4_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(per_prev), 4
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a21 — fixed-width value histogram per event type: the binning shape
+# every metrics dashboard and feature-binning pipeline runs. Bin id is
+# floor(value/10) — one integer function of the row, identical IEEE
+# division in both engines — so the histogram is a single hash agg with
+# map-side partial aggregation; the per-type share comes from a window
+# over the (already tiny) histogram itself, never over the events.
+# ---------------------------------------------------------------------------
+@register(
+    "a21_value_histogram",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bin, CAST(n AS BIGINT) AS n,
+           floor((n * 1.0 / sum(n) OVER (PARTITION BY event_type)) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS share
+    FROM h
+    """,
+)
+def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "bin",
+        "n",
+        rnd(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a22 — statistical aggregate family: Pearson correlation, sample
+# covariance, and least-squares slope/intercept of price on quantity per
+# return flag. Both engines implement the textbook one-pass formulas over
+# doubles (verified to agree within 1e-9 on this data); output rounds at
+# 4 dp. All four are algebraic aggregates — map-side partial state
+# (sums/products/counts), one shuffle on the group key.
+# ---------------------------------------------------------------------------
+@register(
+    "a22_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           floor((corr(l_quantity, l_extendedprice)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS corr_qty_price,
+           floor((covar_samp(l_quantity, l_extendedprice)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS covar_qty_price,
+           floor((regr_slope(l_extendedprice, l_quantity)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS slope_price_on_qty,
+           floor((regr_intercept(l_extendedprice, l_quantity)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS intercept_price_on_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a22_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        rnd(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+        ).alias("slope_price_on_qty"),
+        rnd(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept_price_on_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
