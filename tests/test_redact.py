@@ -18,6 +18,9 @@ DOCS = [
     (6, "released 2025-10-01, updated 12.03.2024, due 1-2-25 ok"),
     (7, "population 1 000 000 and price 1.000.000 versus 12-34 range"),
     (8, "dial 555-123-4567 or 040 123 4567 now"),
+    # round-3 review regression: a '(' or '+' prefix must not let a date
+    # or thousands grouping slip past the digit-anchored guards
+    (9, "released (2025-10-01) by ops, cost (1 000 000), on +12.03.2024"),
 ]
 
 
@@ -75,6 +78,14 @@ def test_formatted_numbers_not_masked_as_phones(redacted):
     # thousands groupings (space or dot) and short digit pairs survive
     r = redacted[7]
     assert r["text"] == DOCS[7][1]
+    assert r["n_phones"] == 0
+
+
+def test_prefixed_dates_not_masked_as_phones(redacted):
+    # '(2025-10-01' previously matched from the '(' on: the guards were
+    # anchored at a digit while the body admitted [+(] (round-3 review)
+    r = redacted[9]
+    assert r["text"] == DOCS[9][1]
     assert r["n_phones"] == 0
 
 

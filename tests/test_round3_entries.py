@@ -397,3 +397,59 @@ def test_a22_corr_bounded_and_slope_consistent(spark, sf_dir, queries):
         # slope and covariance must share a sign (var(qty) > 0)
         if r["covar_qty_price"] != 0:
             assert (r["slope_price_on_qty"] > 0) == (r["covar_qty_price"] > 0)
+
+
+def test_a22_degenerate_group_yields_null_not_error(spark):
+    # Spark 4 ANSI mode makes the BUILTIN corr/regr_* throw DIVIDE_BY_ZERO
+    # on a zero-variance group (and DuckDB returns NULL) — a single
+    # constant-quantity flag would kill the whole query. a22 therefore
+    # computes the explicit nullif-guarded co-moment algebra; this pins
+    # that degenerate groups yield NULL, in both engines (round-3 review).
+    from weather_data_pipeline_sv_spark.catalog.extras import (
+        _A22_MOMENTS,
+        _A22_STATS,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 5.0, 10.0), ("A", 5.0, 20.0), ("B", 1.0, 2.0), ("C", 2.0, 4.0), ("C", 4.0, 8.0)],
+        "flag string, q double, p double",
+    )
+    sums = df.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").alias("sx"), F.sum("p").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("p") * F.col("p")).alias("syy"),
+        F.sum(F.col("q") * F.col("p")).alias("sxy"),
+    ).withColumns({c: F.expr(e) for c, e in _A22_MOMENTS.items()})
+    rows = {
+        r["flag"]: r
+        for r in sums.select(
+            "flag", *[F.expr(e).alias(c) for c, e in _A22_STATS.items()]
+        ).collect()
+    }
+    # constant q in group A -> NULL; single-row B -> NULL; C is exact
+    for col in ("corr_qty_price", "slope_price_on_qty"):
+        assert rows["A"][col] is None and rows["B"][col] is None
+    assert rows["B"]["covar_qty_price"] is None  # n-1 = 0
+    assert abs(rows["C"]["corr_qty_price"] - 1.0) < 1e-12
+    assert abs(rows["C"]["slope_price_on_qty"] - 2.0) < 1e-12
+    assert abs(rows["C"]["intercept_price_on_qty"]) < 1e-12
+
+    # and the identical formula text in DuckDB agrees on the NULLs
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('A', 5.0, 10.0), ('A', 5.0, 20.0), ('B', 1.0, 2.0)) v(flag, q, p)"
+    )
+    moments = ", ".join(f"{e} AS {c}" for c, e in _A22_MOMENTS.items())
+    stats = ", ".join(f"{e} AS {c}" for c, e in _A22_STATS.items())
+    out = con.execute(
+        "WITH s AS (SELECT flag, CAST(count(*) AS DOUBLE) AS n, "
+        "sum(q) AS sx, sum(p) AS sy, sum(q*q) AS sxx, sum(p*p) AS syy, "
+        "sum(q*p) AS sxy FROM t GROUP BY flag), "
+        f"m AS (SELECT *, {moments} FROM s) "
+        f"SELECT flag, {stats} FROM m ORDER BY flag"
+    ).fetchall()
+    assert out[0][1] is None and out[1][1] is None  # corr NULL for A and B

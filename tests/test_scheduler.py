@@ -140,6 +140,17 @@ def test_cron_dom_dow_and_when_one_unrestricted():
     assert not s2.matches(dt.datetime(2025, 10, 17))
 
 
+def test_cron_step_day_field_counts_as_unrestricted():
+    # Vixie sets DOM_STAR for any field STARTING with '*', so '*/2' in dom
+    # keeps the AND rule even though dow is restricted (round-3 review):
+    # "0 0 */2 * 1" fires only on Mondays whose day-of-month is odd
+    # (range(1,32,2) = 1,3,5,...), never on other odd days.
+    s = CronSchedule("0 0 */2 * 1")
+    assert s.matches(dt.datetime(2025, 10, 13))      # Mon the 13th
+    assert not s.matches(dt.datetime(2025, 10, 15))  # Wed the 15th (dom-only)
+    assert not s.matches(dt.datetime(2025, 10, 20))  # Mon the 20th (dow-only)
+
+
 def test_max_active_runs_two_allows_one_overlap():
     sched = Scheduler([], start=T0, sleep=lambda s: None)
     depth = {"n": 0}

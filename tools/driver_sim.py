@@ -42,7 +42,15 @@ print("   sample:", rows[0])
 import datetime, math
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# Parse flags before positionals so `driver_sim.py --json out.json`
+# doesn't swallow "--json" as the sf_dir.
+_argv = sys.argv[1:]
+json_out = None
+if "--json" in _argv:
+    _i = _argv.index("--json")
+    json_out = _argv[_i + 1]
+    del _argv[_i : _i + 2]
+SF = _argv[0] if _argv else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -67,10 +75,6 @@ if only:
 # (`--json PATH`). Matching the driver's compare: columns sorted by NAME
 # before hashing values, so a column-order difference is not a value
 # mismatch but a schema (name-set) difference is.
-json_out = None
-if "--json" in sys.argv:
-    json_out = sys.argv[sys.argv.index("--json") + 1]
-
 import hashlib
 import json as _json
 

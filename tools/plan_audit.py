@@ -39,9 +39,12 @@ FEATURES = {
     "range_exchange": "Exchange rangepartitioning",
     "single_partition_exchange": "Exchange SinglePartition",
     "take_ordered_and_project": "TakeOrderedAndProject",
-    "global_sort": "Sort [",
     "arrow_python": "MapInPandas",
 }
+# A *global* sort prints as `Sort [...], true, 0` (second arg = global
+# flag). Counting bare "Sort [" would also hit the local sorts feeding
+# SortMergeJoin / window operators, which are not whole-cluster
+# range-shuffle sorts and are fine at scale.
 # (whole-stage-codegen coverage is pinned in tests/test_plan_quality.py —
 # the pre-execution AQE plan string doesn't carry codegen annotations)
 
@@ -51,9 +54,12 @@ def audit(sf_dir: str) -> dict:
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
+    import re
+    global_sort_re = re.compile(r"Sort \[[^\]]*\], true,")
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         feats = {k: plan.count(tok) for k, tok in FEATURES.items()}
+        feats["global_sort"] = len(global_sort_re.findall(plan))
         feats["pushed_filter_scans"] = sum(
             1 for line in plan.splitlines()
             if "PushedFilters: [" in line and "PushedFilters: []" not in line

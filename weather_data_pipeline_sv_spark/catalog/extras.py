@@ -12,7 +12,7 @@ every tokenizer-training / TF-IDF pipeline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
@@ -466,31 +466,85 @@ def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubles (verified to agree within 1e-9 on this data); output rounds at
 # 4 dp. All four are algebraic aggregates — map-side partial state
 # (sums/products/counts), one shuffle on the group key.
+#
+# Degenerate groups (zero variance / single row) are a real hazard with
+# the builtins: Spark 4's ANSI mode makes corr/regr_slope THROW
+# DIVIDE_BY_ZERO on a constant group (and DuckDB returns NULL), so a
+# single constant-quantity flag would kill the whole query. Both sides
+# therefore compute the SAME explicit co-moment algebra over raw sums —
+# guarded with nullif so degenerate groups yield NULL in both engines —
+# rather than each engine's builtin. Identical formula text ⇒ identical
+# doubles up to summation order, the same tolerance class the builtin
+# pairing already relied on. (The one-pass expansion is numerically safe
+# here: the cancellation term is ~1e-12 relative at these magnitudes,
+# orders below the 4-dp rounding.)
 # ---------------------------------------------------------------------------
+def _nan_to_null(c: Column) -> Column:
+    """NaN -> NULL (DuckDB's convention for undefined stats)."""
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+# shared corr/covar/regression algebra over the raw sums (x = quantity,
+# y = price): valid Spark SQL and DuckDB SQL verbatim
+_A22_STATS = {
+    "corr_qty_price":
+        "cxy / nullif(sqrt(greatest(cxx * cyy, 0.0)), 0.0)",
+    "covar_qty_price": "cxy / nullif(n - 1.0, 0.0)",
+    "slope_price_on_qty": "cxy / nullif(cxx, 0.0)",
+    "intercept_price_on_qty":
+        "(sy - (cxy / nullif(cxx, 0.0)) * sx) / n",
+}
+_A22_MOMENTS = {
+    "cxy": "sxy - sx * sy / n",
+    "cxx": "sxx - sx * sx / n",
+    "cyy": "syy - sy * sy / n",
+}
+
+
+
 @register(
     "a22_stat_aggregates",
-    oracle="""
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(l_quantity::DOUBLE) AS sx,
+             sum(l_extendedprice::DOUBLE) AS sy,
+             sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+             sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy,
+             sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT *, {', '.join(f'{e} AS {c}' for c, e in _A22_MOMENTS.items())}
+      FROM s
+    )
     SELECT l_returnflag,
-           floor((corr(l_quantity, l_extendedprice)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS corr_qty_price,
-           floor((covar_samp(l_quantity, l_extendedprice)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS covar_qty_price,
-           floor((regr_slope(l_extendedprice, l_quantity)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS slope_price_on_qty,
-           floor((regr_intercept(l_extendedprice, l_quantity)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS intercept_price_on_qty,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem GROUP BY l_returnflag
+           {', '.join(
+               f'floor(({e}) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS {c}'
+               for c, e in _A22_STATS.items()
+           )},
+           CAST(n AS BIGINT) AS n_rows
+    FROM m
     """,
 )
 def a22_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        rnd(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "covar_qty_price"
-        ),
-        rnd(
-            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
-        ).alias("slope_price_on_qty"),
-        rnd(
-            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
-        ).alias("intercept_price_on_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    moments = sums.withColumns(
+        {c: F.expr(e) for c, e in _A22_MOMENTS.items()}
+    )
+    return moments.select(
+        "l_returnflag",
+        *[rnd(F.expr(e), 4).alias(c) for c, e in _A22_STATS.items()],
+        F.col("n").cast("long").alias("n_rows"),
     )

@@ -29,18 +29,14 @@ from ..functions.rounding import rnd
 from . import register
 
 
-# Count of characters OUTSIDE [a-zA-Z0-9 ] — semantically identical to
-# regexp_count(text, '[^a-zA-Z0-9 ]') (the oracles keep the regex form)
-# but via the translate() char map: measured 2.25x faster over the 10x
-# documents dir (1.87 -> 0.83 s), and these quality filters run inside
-# every corpus pipeline stage-1 pass.
-_KEEP_CHARS = (
-    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
-)
+# Count of characters OUTSIDE [a-zA-Z0-9 ] — the shared translate()-map
+# form (see functions/textstats.py for the definition and the 2.25x
+# measurement; the oracles keep the regex form).
+from ..functions.textstats import symbol_count as _shared_symbol_count
 
 
 def _symbol_count():
-    return F.length(F.translate(F.col("text"), _KEEP_CHARS, ""))
+    return _shared_symbol_count(F.col("text"))
 
 
 # token array from a document, identical semantics both engines

@@ -210,16 +210,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    n_hashes: int = 16, band_size: int = 4, threshold: float = 0.5,
-    max_shingle_df: int | None = None, materialize: bool = True,
+def band_table(
+    sig: DataFrame, n_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
-    """MinHash + banding candidates, verified with true shingle Jaccard."""
-    sh = _materialize(
-        explode_shingles(df, id_col, text_col, n, max_shingle_df), materialize
-    )
-    sig = minhash_signatures(sh, n_hashes)
+    """(doc_id, band_id, band_key) from a wide minhash signature: each band
+    is the md5 of its ``band_size`` signature slots joined with '|'. The
+    single source of the banding used by both the batch LSH
+    (:func:`minhash_lsh_pairs`) and the incremental store
+    (``operators/incremental.py``) — the two MUST agree or incremental
+    results drift from the batch rerun they are checked against."""
     band_keys = F.array(
         *[
             F.md5(
@@ -230,9 +229,22 @@ def minhash_lsh_pairs(
             for b in range(n_hashes // band_size)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    n_hashes: int = 16, band_size: int = 4, threshold: float = 0.5,
+    max_shingle_df: int | None = None, materialize: bool = True,
+) -> DataFrame:
+    """MinHash + banding candidates, verified with true shingle Jaccard."""
+    sh = _materialize(
+        explode_shingles(df, id_col, text_col, n, max_shingle_df), materialize
+    )
+    sig = minhash_signatures(sh, n_hashes)
+    bands = band_table(sig, n_hashes, band_size)
     cand = (
         bands.alias("a")
         .join(

@@ -44,8 +44,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.textstats import symbol_ratio
 from .dedup import (
     _attach_jaccard,
+    band_table,
     explode_shingles,
     minhash_signatures,
 )
@@ -82,37 +84,23 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         "aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)"
     )
     mean_tok_len = total_len.cast("double") / F.col("n_tokens")
-    symbol_ratio = (
-        F.regexp_count(F.col(text_col), F.lit("[^a-zA-Z0-9 ]")).cast("double")
-        / F.length(text_col)
-    )
     has_stopword = (
         F.regexp_count(F.lower(F.col(text_col)), F.lit(r"\b(the|a|of|and|is)\b")) > 0
     )
     return d.filter(
         F.col("n_tokens").between(_TOK_MIN, _TOK_MAX)
         & mean_tok_len.between(_MTL_MIN, _MTL_MAX)
-        & (symbol_ratio < _SYMBOL_MAX)
+        & (symbol_ratio(F.col(text_col)) < _SYMBOL_MAX)
         & has_stopword
     )
 
 
 def _band_table(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_key) from a wide minhash signature — the
-    same banding as ``dedup.minhash_lsh_pairs``."""
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"s{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
-                )
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
+    """The SHARED banding from ``dedup.band_table`` (one definition for
+    batch and incremental), with band_id narrowed to the store schema."""
+    return band_table(sig, N_HASHES, BAND_SIZE).withColumn(
+        "band_id", F.col("band_id").cast("int")
     )
-    return sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
-    ).withColumn("band_id", F.col("band_id").cast("int"))
 
 
 def process_corpus_batch(

@@ -73,14 +73,17 @@ class CronSchedule:
         dom_ok = t.day in dom
         dow_ok = t.weekday() in {(d - 1) % 7 for d in dow}  # cron 0=Sun
         # Vixie-cron day rule (also croniter/Airflow): when BOTH day fields
-        # are restricted (neither is '*'), the day matches if EITHER does;
-        # when at most one is restricted, both are ANDed (the unrestricted
-        # one matches everything, so this degenerates to the restricted
-        # one). The reference's three DAGs use '*' for both, so they hit
-        # the AND branch either way.
+        # are restricted, the day matches if EITHER does; otherwise ANDed
+        # (the unrestricted one matches everything, so this degenerates to
+        # the restricted one). Vixie sets its DOM_STAR/DOW_STAR flag for any
+        # field that STARTS with '*' — so '*' and '*/2' both count as
+        # unrestricted for this rule. The reference's three DAGs use '*'
+        # for both, so they hit the AND branch either way.
+        dom_star = dom_field.startswith("*")
+        dow_star = dow_field.startswith("*")
         day_ok = (
             (dom_ok or dow_ok)
-            if dom_field != "*" and dow_field != "*"
+            if not dom_star and not dow_star
             else (dom_ok and dow_ok)
         )
         return t.minute in m and t.hour in h and t.month in mon and day_ok
