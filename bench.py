@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "c14_market_share",
     "c15_profit_by_nation",
     "j10_full_outer_reconcile",
+    "a21_value_histogram",
+    "a22_stat_aggregates",
+    "v12_semantic_dedup_2level",
 ]
 
 
@@ -102,8 +105,12 @@ def main() -> None:
     # identical suite back-to-back), and the min is the standard estimator
     # for the machine's actual capability under external noise.
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # subset protocol for measuring late additions at the scale dirs
+    # without re-running the whole suite (same per-query procedure)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = only.split(",") if only else BENCH_QUERIES
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         best = None
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -136,6 +143,7 @@ def main() -> None:
         tracker = spark.sparkContext.statusTracker()
         jtracker = spark.sparkContext._jsc.sc().statusTracker()
         deadline = time.time() + 10
+        drained = False
         while time.time() < deadline:
             running = sum(
                 e.numRunningTasks() for e in jtracker.getExecutorInfos()
@@ -145,16 +153,25 @@ def main() -> None:
                 and not tracker.getActiveJobsIds()
                 and not tracker.getActiveStageIds()
             ):
+                drained = True
                 break
             time.sleep(0.05)
         spark.catalog.clearCache()
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # only force the JVM GC once the drain CONFIRMED no task is still
+        # running: on a contended box the deadline can expire with zombies
+        # alive, and System.gc() would then unregister their accumulators
+        # mid-flight (the DAGScheduler stack-trace noise this drain
+        # exists to prevent). Skipping one GC pass only risks slightly
+        # less isolation for the next query — strictly better than a
+        # polluted artifact.
+        if drained:
+            spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock (noop sink, min of 2 runs), local["
+                "metric": f"headline query wall-clock (noop sink, min of {N_RUNS} runs), local["
                 + os.environ.get("SPARK_GRAFT_CPUS", "32")
                 + "]",
                 "value": round(sum(timings.values()), 3),

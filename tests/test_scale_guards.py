@@ -193,6 +193,68 @@ def test_near_dup_lsh_subset_of_exact(spark, emb):
 # SCALE.md asserts AQE's skew split absorbs a hot grid cell; this pins it.
 # ---------------------------------------------------------------------------
 
+def test_sem_dedup_train_sample_never_saturates_below_k():
+    # v10's Lloyd seeds are the k lowest ids OF THE STRIDED SAMPLE: if the
+    # sample held fewer than k rows the effective list count would silently
+    # cap (~4000) and within-block pairs would go quadratic again at
+    # n >~ 1M (round-3 review). The stride must scale with k.
+    from weather_data_pipeline_sv_spark.catalog.vector import _sem_params
+
+    for n in [500, 2_000, 60_000, 180_000, 1_000_000, 10_000_000, 10**8]:
+        k, m = _sem_params(n)
+        sample = (n + m - 1) // m  # ids 0, m, 2m, ... < n
+        assert sample >= k, f"n={n}: sample {sample} < k {k}"
+    # and the tested scale points keep their original stride (hash parity
+    # with the committed artifacts: the fix only activates above ~250k)
+    assert _sem_params(500) == (8, 1)
+    assert _sem_params(180_000)[1] == 180_000 // 4000
+
+
+def test_two_level_sizing_invariants():
+    # v12: k1*k2 covers ktot, the coarse trainer's sample covers k1, and
+    # per-vector assignment work is O(sqrt(ktot)) — the whole point
+    from weather_data_pipeline_sv_spark.catalog.vector import (
+        _SEM_BLOCK,
+        _sem2_params,
+    )
+
+    for n in [500, 2_000, 60_000, 1_000_000, 10_000_000, 10**8]:
+        k1, k2, m = _sem2_params(n)
+        ktot = max(8, -(-n // _SEM_BLOCK))
+        assert k1 * k2 >= ktot
+        sample = (n + m - 1) // m
+        assert sample >= k1, f"n={n}: sample {sample} < k1 {k1}"
+        # assignment distances per vector stay ~2*sqrt(ktot)
+        assert k1 + k2 <= 4 * int(ktot ** 0.5) + 4
+
+
+def test_fine_seed_assign_semantics(spark, emb):
+    # seeds map to themselves; every vector's fine seed is in its own
+    # coarse cell and is one of that cell's k2 lowest ids
+    from weather_data_pipeline_sv_spark.operators import similarity as s
+
+    cent = s.ivf_centroids(emb, n_lists=4, n_iter=1)
+    coarse = s.ivf_assign(emb, cent).withColumnRenamed("list_id", "coarse_id")
+    fine = s.fine_seed_assign(coarse, k2=3, coarse_col="coarse_id")
+    rows = fine.collect()
+    cell_of = {r["vec_id"]: r["coarse_id"] for r in rows}
+    seed_ids = {r["fine_id"] for r in rows}
+    # a fine seed always lives in the same coarse cell as its members
+    for r in rows:
+        assert cell_of[r["fine_id"]] == r["coarse_id"]
+    # seeds are the k2 lowest ids of each cell
+    by_cell: dict[int, list[int]] = {}
+    for vid, cid in sorted(cell_of.items()):
+        by_cell.setdefault(cid, []).append(vid)
+    expected = {vid for ids in by_cell.values() for vid in ids[:3]}
+    assert seed_ids <= expected
+    # and a seed's nearest seed is itself (distance 0 wins every tie-break
+    # except an exact-duplicate earlier seed; fixture vectors are distinct)
+    for r in rows:
+        if r["vec_id"] in seed_ids:
+            assert r["fine_id"] == r["vec_id"]
+
+
 def test_grid_join_skew_split_kicks_in(spark):
     """80%+ of points in ONE grid cell must not become one straggler
     partition: AQE's OptimizeSkewedJoin must split the hot partition

@@ -13,6 +13,8 @@ is stable under any remaining ULP noise.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -661,15 +663,39 @@ def v9_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count is quadratic in disguise — 8 lists over 180k vectors meant 2e9
 # within-cluster pairs (173 s at 30×). Cluster count now scales as
 # ceil(n/250) (target block ≈ 250 → pairs ≈ 125·n, linear) and Lloyd
-# trains on a deterministic id-stride sample of ≤~4000 vectors, the
-# standard IVF practice. Both knobs are integer functions of the corpus
-# count that the DuckDB oracle evaluates identically, so the clustering
-# REMAINS value-checked at every scale; at sf0.01 (n=500 → k=8, stride
-# 1) results are bit-identical to the fixed-k round-3 original.
+# trains on a deterministic id-stride sample whose TARGET SIZE scales
+# with k — max(4000, 4k) — because the seeds are the sample's k lowest
+# ids: a fixed 4000-row sample would silently cap the effective list
+# count at 4000 once n exceeds ~1M, re-creating the quadratic
+# within-block blow-up this sizing exists to prevent. Both knobs are
+# integer functions of the corpus count that the DuckDB oracle evaluates
+# identically, so the clustering REMAINS value-checked at every scale;
+# at every tested scale point (n ≤ ~250k, where 4k ≤ 4000·…) the stride
+# is unchanged and results are bit-identical to the fixed-sample form.
+#
+# Cost model at scale, stated honestly: the pair stage is linear
+# (≈ 125·n candidate pairs), but the nearest-centroid assignment is a
+# map-side n×k distance pass — with k = n/250 that term is n²/250 flops
+# (distributed, no shuffle, but still the asymptotic bottleneck past
+# ~10M vectors). The scale path beyond that is a two-level quantizer
+# (coarse v4-style index → fine lists within each coarse cell), which
+# drops assignment to n·2√k; this flat variant is the value-checked
+# reference implementation of the semantics.
 # ---------------------------------------------------------------------------
 _SEM_TAU = 0.45
 _SEM_BLOCK = 250
 _SEM_TRAIN = 4000
+
+
+def _sem_params(n: int) -> tuple[int, int]:
+    """(n_lists, train_stride) for a corpus of ``n`` vectors — the integer
+    sizing both engines evaluate (mirrored in the oracle's ``prm`` CTE).
+    Invariant: the strided sample always holds at least ``k`` rows, so the
+    k lowest-id seeds exist and the effective list count never saturates
+    below the requested one (tests/test_scale_guards.py pins this)."""
+    k = max(8, -(-n // _SEM_BLOCK))
+    m = max(1, n // max(_SEM_TRAIN, 4 * k))
+    return k, m
 
 
 @register(
@@ -679,7 +705,9 @@ _SEM_TRAIN = 4000
     dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
     prm AS (
       SELECT CAST(greatest(8, ceil(count(*) / {_SEM_BLOCK}.0)) AS BIGINT) AS k,
-             CAST(greatest(1, count(*) // {_SEM_TRAIN}) AS BIGINT) AS m
+             CAST(greatest(1, count(*) // greatest({_SEM_TRAIN},
+                    4 * CAST(greatest(8, ceil(count(*) / {_SEM_BLOCK}.0))
+                        AS BIGINT))) AS BIGINT) AS m
       FROM v
     ),
     vt AS (SELECT v.* FROM v CROSS JOIN prm WHERE v.vec_id % prm.m = 0),
@@ -718,8 +746,7 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (mirrored in the oracle's `prm` CTE); the count is one columnar
     # scan, the same driver-side scalar the Lloyd trainer needs anyway
     n = emb.count()
-    k = max(8, -(-n // _SEM_BLOCK))
-    m = max(1, n // _SEM_TRAIN)
+    k, m = _sem_params(n)
     train = emb.filter(F.col("vec_id") % m == 0)
     cent = sim.ivf_centroids(train, n_lists=k, n_iter=2)
     # the assignment heads three consumers (both pair sides + the final
@@ -745,6 +772,146 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id", "list_id", F.col("__dropped").isNull().alias("kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V12 — two-level semantic dedup: the >10M-vector scale path the flat v10
+# sizing note defers to. Level 1 is the same Lloyd coarse quantizer with
+# k1 = ceil(sqrt(ktot)) lists; level 2 picks, inside each coarse cell, the
+# k2 = ceil(ktot/k1) lowest-id members as FINE SEEDS and maps every vector
+# to its nearest seed (operators/similarity.fine_seed_assign — no second
+# Lloyd, so the whole hierarchy stays deterministic and the oracle replays
+# it with a window rank). Near-dup pairs are blocked on the fine seed id.
+#
+# Why this scales where flat v10 eventually can't: total effective lists
+# are still ktot ≈ n/250 (block ≈ 250 → pairs ≈ 125·n), but the
+# per-vector assignment work drops from ktot distances to k1 + k2 ≈
+# 2·sqrt(ktot) — at n = 100M that is ~1.3k distances instead of 400k.
+# Recall differs from flat v10 only where a vector's nearest fine seed
+# sits across a coarse boundary (the standard IVF trade); τ and the
+# greedy lower-id-wins rule are identical.
+# ---------------------------------------------------------------------------
+def _sem2_params(n: int) -> tuple[int, int, int]:
+    """(k1, k2, train_stride): integer sizing both engines evaluate.
+    k1·k2 ≥ ktot = max(8, ceil(n/250)); the coarse trainer's sample only
+    needs ≥ k1 rows now (sqrt-sized), so the stride target is 4·k1."""
+    ktot = max(8, -(-n // _SEM_BLOCK))
+    k1 = math.ceil(math.sqrt(ktot))
+    k2 = -(-ktot // k1)
+    m = max(1, n // max(_SEM_TRAIN, 4 * k1))
+    return k1, k2, m
+
+
+@register(
+    "v12_semantic_dedup_2level",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    prm0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(greatest(8, ceil(count(*) / {_SEM_BLOCK}.0)) AS BIGINT)
+               AS ktot
+      FROM v
+    ),
+    prm AS (
+      SELECT n, ktot,
+             CAST(ceil(sqrt(ktot)) AS BIGINT) AS k1,
+             (ktot + CAST(ceil(sqrt(ktot)) AS BIGINT) - 1)
+               // CAST(ceil(sqrt(ktot)) AS BIGINT) AS k2,
+             greatest(1, n // greatest({_SEM_TRAIN},
+                 4 * CAST(ceil(sqrt(ktot)) AS BIGINT))) AS m
+      FROM prm0
+    ),
+    vt AS (SELECT v.* FROM v CROSS JOIN prm WHERE v.vec_id % prm.m = 0),
+    c0 AS (
+      SELECT list_id, centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS list_id,
+               emb AS centroid
+        FROM vt
+      ) x CROSS JOIN prm WHERE x.list_id < prm.k1
+    ),
+    {_duck_assign('a0', 'c0', 'vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', 'vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('coarse', 'c2')},
+    seeds AS (
+      SELECT list_id AS coarse_id, vec_id AS fine_id, emb
+      FROM (
+        SELECT c.*, row_number() OVER (
+                 PARTITION BY c.list_id ORDER BY c.vec_id) AS rn
+        FROM coarse c
+      ) x CROSS JOIN prm WHERE x.rn <= prm.k2
+    ),
+    fine AS (
+      SELECT vec_id, coarse_id, fine_id FROM (
+        SELECT c.vec_id, c.list_id AS coarse_id, s.fine_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {rnd_sql(_D2.format(dim=_DIM, a='c.emb', b='s.emb'), 9)} ASC,
+                          s.fine_id ASC) AS rn
+        FROM coarse c JOIN seeds s ON s.coarse_id = c.list_id
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT f.vec_id, f.coarse_id, f.fine_id, v.emb
+      FROM fine f JOIN v USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM p a JOIN p b
+        ON a.fine_id = b.fine_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs
+      WHERE {rnd_sql('cos', 6)} >= {_SEM_TAU}
+    )
+    SELECT p.vec_id, p.coarse_id, p.fine_id, d.vec_id IS NULL AS kept
+    FROM p LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def v12_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    n = emb.count()
+    k1, k2, m = _sem2_params(n)
+    train = emb.filter(F.col("vec_id") % m == 0)
+    cent = sim.ivf_centroids(train, n_lists=k1, n_iter=2)
+    # coarse heads two consumers inside fine_seed_assign (the seed rank
+    # and the assignment join) — checkpoint so the nearest-centroid pass
+    # runs once; same again for fine, which heads three consumers
+    # (both pair sides + the final join)
+    coarse = (
+        sim.ivf_assign(emb, cent)
+        .withColumnRenamed("list_id", "coarse_id")
+        .localCheckpoint(eager=False)
+    )
+    fine = sim.fine_seed_assign(
+        coarse, k2, coarse_col="coarse_id"
+    ).localCheckpoint(eager=False)
+    a = fine.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "fine_id"
+    )
+    b = fine.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "fine_id"
+    )
+    dropped = (
+        a.join(b, "fine_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(_SEM_TAU)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return fine.join(dropped, "vec_id", "left").select(
+        "vec_id", "coarse_id", "fine_id",
+        F.col("__dropped").isNull().alias("kept"),
     )
 
 

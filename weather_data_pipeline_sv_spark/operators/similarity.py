@@ -398,6 +398,50 @@ def ivf_assign(
     return base.select(id_col, vec_col, best["list_id"].alias("list_id"))
 
 
+def fine_seed_assign(
+    assigned: DataFrame, k2: int,
+    id_col: str = "vec_id", vec_col: str = "emb",
+    coarse_col: str = "list_id",
+) -> DataFrame:
+    """Second quantizer level for hierarchical blocking: within each coarse
+    cell the ``k2`` lowest-id vectors become FINE SEEDS (no Lloyd — purely
+    deterministic, so an external oracle can replay it with a window rank),
+    and every vector maps to its cell's nearest seed (distance rounded to
+    9 dp, lower seed id on ties — the same engine-stable tie-break as
+    :func:`ivf_assign`). Returns (id, vec, coarse_col, fine_id); ``fine_id``
+    is the seed's own id, globally unique, so downstream blocking can key
+    on fine_id alone.
+
+    Scale shape: the seed table is k1·k2 × dim doubles grouped into one
+    array row per cell; the assignment is an equi-join on the coarse id
+    (AQE broadcasts it while it fits, shuffles on the cell key beyond
+    that) followed by a map-side argmin over ≤ k2 seeds. Together with the
+    coarse level this replaces the flat n×k distance pass with
+    n×(k1 + k2) ≈ n·2√k — the construction the flat v10 sizing note
+    defers to past ~10M vectors."""
+    wseed = Window.partitionBy(coarse_col).orderBy(id_col)
+    seeds = (
+        assigned.withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= k2)
+        .groupBy(coarse_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).cast("long").alias("list_id"),
+                        F.col(vec_col).alias("centroid"),
+                    )
+                )
+            ).alias("__seeds")
+        )
+    )
+    joined = assigned.join(seeds, coarse_col)
+    best = F.array_min(_dist_structs_over(F.col(vec_col), F.col("__seeds")))
+    return joined.select(
+        id_col, vec_col, coarse_col, best["list_id"].alias("fine_id")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame, queries: DataFrame,
     k: int = 5, n_lists: int = 16, n_probe: int = 4, n_iter: int = 2,
