@@ -109,6 +109,9 @@ def main() -> None:
     # without re-running the whole suite (same per-query procedure)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = only.split(",") if only else BENCH_QUERIES
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown bench query name(s): {unknown}")
     timings: dict[str, float] = {}
     for name in names:
         best = None
@@ -171,9 +174,16 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # a subset run must not be mistakable for the full-suite
+                # headline artifact
                 "metric": f"headline query wall-clock (noop sink, min of {N_RUNS} runs), local["
                 + os.environ.get("SPARK_GRAFT_CPUS", "32")
-                + "]",
+                + "]"
+                + (
+                    f" — SUBSET {len(names)}/{len(BENCH_QUERIES)}"
+                    if only
+                    else ""
+                ),
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -21,6 +21,9 @@ DOCS = [
     # round-3 review regression: a '(' or '+' prefix must not let a date
     # or thousands grouping slip past the digit-anchored guards
     (9, "released (2025-10-01) by ops, cost (1 000 000), on +12.03.2024"),
+    # the thousands guard must NOT admit '+': +CC XXX XXX XXX is a
+    # standard international mobile format, not an amount
+    (10, "call +46 708 123 456 today"),
 ]
 
 
@@ -87,6 +90,12 @@ def test_prefixed_dates_not_masked_as_phones(redacted):
     r = redacted[9]
     assert r["text"] == DOCS[9][1]
     assert r["n_phones"] == 0
+
+
+def test_plus_prefixed_international_phone_masked(redacted):
+    r = redacted[10]
+    assert r["text"] == "call <PHONE> today"
+    assert r["n_phones"] == 1
 
 
 def test_real_phones_still_masked_after_guards(redacted):

@@ -411,7 +411,11 @@ def test_a22_degenerate_group_yields_null_not_error(spark):
     )
 
     df = spark.createDataFrame(
-        [("A", 5.0, 10.0), ("A", 5.0, 20.0), ("B", 1.0, 2.0), ("C", 2.0, 4.0), ("C", 4.0, 8.0)],
+        [("A", 5.0, 10.0), ("A", 5.0, 20.0), ("B", 1.0, 2.0),
+         ("C", 2.0, 4.0), ("C", 4.0, 8.0),
+         # non-dyadic constant: sxx - sx*sx/n cancels to ~1e-17 NOISE, not
+         # 0.0 — the epsilon guard (not bare nullif) must catch it
+         ("D", 0.1, 1.0), ("D", 0.1, 2.0), ("D", 0.1, 3.0)],
         "flag string, q double, p double",
     )
     sums = df.groupBy("flag").agg(
@@ -427,9 +431,11 @@ def test_a22_degenerate_group_yields_null_not_error(spark):
             "flag", *[F.expr(e).alias(c) for c, e in _A22_STATS.items()]
         ).collect()
     }
-    # constant q in group A -> NULL; single-row B -> NULL; C is exact
+    # constant q in A (dyadic) and D (non-dyadic) -> NULL; single-row B
+    # -> NULL; C is exact
     for col in ("corr_qty_price", "slope_price_on_qty"):
         assert rows["A"][col] is None and rows["B"][col] is None
+        assert rows["D"][col] is None
     assert rows["B"]["covar_qty_price"] is None  # n-1 = 0
     assert abs(rows["C"]["corr_qty_price"] - 1.0) < 1e-12
     assert abs(rows["C"]["slope_price_on_qty"] - 2.0) < 1e-12

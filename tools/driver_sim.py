@@ -48,6 +48,9 @@ _argv = sys.argv[1:]
 json_out = None
 if "--json" in _argv:
     _i = _argv.index("--json")
+    if _i + 1 >= len(_argv) or os.path.isdir(_argv[_i + 1]):
+        sys.exit("usage: driver_sim.py [sf_dir] [--json OUT.json] "
+                 "(--json needs a non-directory output path)")
     json_out = _argv[_i + 1]
     del _argv[_i : _i + 2]
 SF = _argv[0] if _argv else "/root/testdata/sf0.01"

@@ -12,7 +12,7 @@ every tokenizer-training / TF-IDF pipeline).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
@@ -478,12 +478,14 @@ def a21_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairing already relied on. (The one-pass expansion is numerically safe
 # here: the cancellation term is ~1e-12 relative at these magnitudes,
 # orders below the 4-dp rounding.)
+#
+# The variance moments (cxx, cyy) carry an epsilon degeneracy guard, not
+# a bare nullif: a constant NON-DYADIC value (e.g. all 0.1) cancels to
+# ±1e-17 noise rather than exactly 0.0, and dividing by that noise makes
+# engine-divergent garbage. |moment| ≤ 1e-12·(its sum of squares) is
+# 4 orders above double cancellation noise and ~12 below any genuine
+# variance, and both engines evaluate the identical predicate.
 # ---------------------------------------------------------------------------
-def _nan_to_null(c: Column) -> Column:
-    """NaN -> NULL (DuckDB's convention for undefined stats)."""
-    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
-
-
 # shared corr/covar/regression algebra over the raw sums (x = quantity,
 # y = price): valid Spark SQL and DuckDB SQL verbatim
 _A22_STATS = {
@@ -496,8 +498,10 @@ _A22_STATS = {
 }
 _A22_MOMENTS = {
     "cxy": "sxy - sx * sy / n",
-    "cxx": "sxx - sx * sx / n",
-    "cyy": "syy - sy * sy / n",
+    "cxx": "CASE WHEN abs(sxx - sx * sx / n) <= 1e-12 * sxx"
+           " THEN NULL ELSE sxx - sx * sx / n END",
+    "cyy": "CASE WHEN abs(syy - sy * sy / n) <= 1e-12 * syy"
+           " THEN NULL ELSE syy - sy * sy / n END",
 }
 
 

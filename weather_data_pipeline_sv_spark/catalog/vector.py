@@ -687,6 +687,34 @@ _SEM_BLOCK = 250
 _SEM_TRAIN = 4000
 
 
+def _greedy_drop(assigned: DataFrame, block_col: str, keep_cols: list[str]) -> DataFrame:
+    """The SemDeDup greedy rule shared by v10 (flat blocks) and v12
+    (hierarchical blocks): inside each ``block_col`` block, drop every
+    vector with a lower-id block-mate at cosine ≥ τ. One definition so a
+    τ or tie-break change cannot silently diverge the two variants.
+    ``assigned`` must carry (vec_id, emb, block_col [, keep_cols…]);
+    returns (vec_id, *keep_cols, kept)."""
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), block_col
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), block_col
+    )
+    dropped = (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(_SEM_TAU)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", *keep_cols, F.col("__dropped").isNull().alias("kept")
+    )
+
+
 def _sem_params(n: int) -> tuple[int, int]:
     """(n_lists, train_stride) for a corpus of ``n`` vectors — the integer
     sizing both engines evaluate (mirrored in the oracle's ``prm`` CTE).
@@ -754,25 +782,7 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 146 → ~30 s at the 30× dir together with the
     # literal-path crossover fix in operators/similarity.py)
     assigned = sim.ivf_assign(emb, cent).localCheckpoint(eager=False)
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "list_id"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "list_id"
-    )
-    dropped = (
-        a.join(b, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(_SEM_TAU)
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    return assigned.join(dropped, "vec_id", "left").select(
-        "vec_id", "list_id", F.col("__dropped").isNull().alias("kept")
-    )
+    return _greedy_drop(assigned, "list_id", ["list_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -893,26 +903,7 @@ def v12_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = sim.fine_seed_assign(
         coarse, k2, coarse_col="coarse_id"
     ).localCheckpoint(eager=False)
-    a = fine.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "fine_id"
-    )
-    b = fine.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "fine_id"
-    )
-    dropped = (
-        a.join(b, "fine_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(_SEM_TAU)
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    return fine.join(dropped, "vec_id", "left").select(
-        "vec_id", "coarse_id", "fine_id",
-        F.col("__dropped").isNull().alias("kept"),
-    )
+    return _greedy_drop(fine, "fine_id", ["coarse_id", "fine_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -33,14 +33,17 @@ IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 # docstring); the date-adjacent-phone corner case is documented in
 # tests/test_redact.py.
 _RUN_END = r"(?![0-9]|[ ()\-.]{1,3}[0-9])"  # digit run genuinely ends here
-# Each guard admits the same optional [+(] prefix as the match body —
+# The date guards admit the same optional [+(] prefix as the match body —
 # otherwise '(2025-10-01' would slip past the digit-anchored date guards
-# and be eaten from the '(' on.
+# and be eaten from the '(' on. The thousands guard admits only '('
+# (amounts are parenthesized for negatives; they are never written with
+# a leading '+', while '+CC XXX XXX XXX' is a standard international
+# mobile format that must STAY masked).
 PHONE_RE = (
     r"(?<![0-9A-Za-z])"
     rf"(?![+(]?[0-9]{{4}}[-./][0-9]{{1,2}}[-./][0-9]{{1,2}}{_RUN_END})"
     rf"(?![+(]?[0-9]{{1,2}}[-./][0-9]{{1,2}}[-./][0-9]{{2,4}}{_RUN_END})"
-    rf"(?![+(]?[0-9]{{1,3}}(?:[ .][0-9]{{3}})+{_RUN_END})"
+    rf"(?![(]?[0-9]{{1,3}}(?:[ .][0-9]{{3}})+{_RUN_END})"
     r"(?=(?:[ ()\-.+]*[0-9]){7})"
     r"[+(]?[0-9][0-9 ()\-.]{6,14}[0-9](?![0-9A-Za-z])"
 )
