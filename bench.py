@@ -99,12 +99,14 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # min-of-2 per query, matching the committed BENCH_SF1/SF3 protocol
-    # (min-of-3 there): this box shows intermittent 2-4x CPU-steal spikes
-    # on random queries (measured 72.9 / 127.4 / 78.1 s totals for the
-    # identical suite back-to-back), and the min is the standard estimator
-    # for the machine's actual capability under external noise.
-    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 per query — the SAME protocol as the committed BENCH_SF1/
+    # BENCH_SF3 curve artifacts, so per-round and per-scale numbers are
+    # directly comparable (round-3 ADVICE). This box shows intermittent
+    # 2-4x CPU-steal spikes on random queries (measured 72.9 / 127.4 /
+    # 78.1 s totals for the identical suite back-to-back), and the min is
+    # the standard estimator for the machine's actual capability under
+    # external noise.
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # subset protocol for measuring late additions at the scale dirs
     # without re-running the whole suite (same per-query procedure)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")

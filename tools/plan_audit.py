@@ -1,7 +1,16 @@
 """Sweep every catalog entry's physical plan and emit a JSON inventory.
 
-For each `queries()` entry (built against sf0.01, never executed) the
-audit counts the plan features the 100 TB design cares about:
+For each `queries()` entry (built against sf0.01) the audit counts the
+plan features the 100 TB design cares about. Building a plan normally
+executes nothing; the documented EXCEPTIONS are the self-sizing entries,
+which run bounded driver-side jobs at build time — Lloyd-trained IVF
+(v4, v11) collects k x dim centroids, the semantic-dedup family
+(v10/v12) additionally derives its list count from a corpus count(),
+g1 sizes its kNN blocking the same way, and pipe3 materializes its
+incremental state. Those jobs are the operators' own bounded setup
+(counts and k x dim collects), not result materialization.
+
+Counted features:
 
 - join strategies (broadcast hash / sort-merge / shuffled hash /
   broadcast nested loop / cartesian)

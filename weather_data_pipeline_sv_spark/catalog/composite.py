@@ -65,6 +65,14 @@ def c1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cut))
         .filter(F.col("o_orderdate") < F.col("cut"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # the filtered orders⨝customer intermediate GROWS WITH THE DATA:
+        # broadcasting it is never right at scale, and locally the static
+        # 64 MB estimate sat just under the threshold at the 10× dir,
+        # building a ~750k-row driver broadcast (11.2 s — the one
+        # mid-curve cliff in SCALE.md r3). shuffle_hash keeps the hash
+        # build but shuffles both sides on the order key: no driver
+        # round-trip, no estimate cliff, AQE still splits skew.
+        .hint("shuffle_hash")
         .join(
             t["lineitem"].alias("l"),
             F.col("l_orderkey") == F.col("o_orderkey"),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..sources import load_tables
+from ..functions.caching import loop_cache, stage_cache
 from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd
 from . import register
@@ -262,9 +263,15 @@ def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # D2 — n-gram (3-word shingle) Jaccard near-dup pairs.
-# Scale path: the join key is the shingle itself; common-shingle skew is
-# bounded because shingles are 3-grams (selective), and the pair-count
-# aggregation is a partial+final hash agg on (doc_a, doc_b).
+# NAIVE BASELINE, not the recommended path: the exhaustive shingle
+# self-join enumerates every co-shingle pair and is the suite's worst
+# scaler (4.2x time on 3x data — SCALE.md). It exists as the exact
+# ground-truth baseline that D3 (MinHash+LSH banding) approximates; at
+# any real corpus size use D3, which touches only banded candidates.
+# Scale notes for what it does do: the join key is the shingle itself;
+# common-shingle skew is bounded by the stop-shingle cap
+# (JACCARD_MAX_SHINGLE_DF), and the pair-count aggregation is a
+# partial+final hash agg on (doc_a, doc_b).
 # ---------------------------------------------------------------------------
 @register(
     "d2_dedup_ngram_jaccard",
@@ -798,10 +805,10 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text", "n_tokens")
         # `uniq` heads two consumers (the shingle explode inside
-        # jaccard_pairs and the survivor anti-join): checkpoint so the
+        # jaccard_pairs and the survivor anti-join): materialize so the
         # quality-regex + window-dedup prefix computes once — the same
         # fan-out fix measured on pipe2 (16.4 → 5.3 s at sf0.1)
-        .localCheckpoint(eager=False)
+        .transform(stage_cache)
     )
     # stage 3 — near-dup removal among survivors (Jaccard >= 0.6, greedy)
     pairs = dd.jaccard_pairs(uniq, "doc_id", "text", n=3, threshold=0.6)
@@ -1523,7 +1530,7 @@ def pipe2_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regexp passes over full text dominate it. Measured at sf0.1: cold
     # pipe2 13.4 s → see commit; blocks are session-scoped (cleared by the
     # bench's clearCache between queries).
-    clean = clean.localCheckpoint(eager=False)
+    clean = stage_cache(clean)
     # stage 4 — MinHash-LSH near-dup removal (d3 machinery)
     pairs = dd.minhash_lsh_pairs(
         clean, "doc_id", "text", n=3,
@@ -1532,7 +1539,7 @@ def pipe2_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dd.drop_near_duplicates(clean, "doc_id", pairs)
     # same fan-out shape: survivors feed the bigram explode AND the final
     # join — checkpoint once
-    survivors = survivors.localCheckpoint(eager=False)
+    survivors = stage_cache(survivors)
     # stage 5 — bigram LM on the survivors, filter low-likelihood docs
     surv_tok = survivors.withColumn("tokens", F.expr(_SPARK_TOKENS))
     bg = surv_tok.filter(F.size("tokens") >= 2).select(
@@ -1692,8 +1699,10 @@ def pipe3_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         if store is None:
             store = (delta["docs"], delta["shingles"], delta["bands"])
         else:
+            # loop state: truncate per round or slice i's plan nests
+            # slices 0..i-1 (same reasoning as operators/graph.py)
             store = tuple(
-                store[i].unionByName(delta[k]).localCheckpoint(eager=False)
+                loop_cache(store[i].unionByName(delta[k]))
                 for i, k in enumerate(("docs", "shingles", "bands"))
             )
     return (

@@ -18,6 +18,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import stage_cache
 from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd, rnd_sql
 from ..operators import similarity as sim
@@ -715,12 +716,37 @@ def _greedy_drop(assigned: DataFrame, block_col: str, keep_cols: list[str]) -> D
     )
 
 
+def _dense_count(emb: DataFrame) -> int:
+    """Corpus count for the semantic-dedup sizing, with the DENSE-ID
+    precondition checked in the same single job: the ``vec_id % m``
+    training stride only guarantees >= k sample rows when vec_id is
+    dense 0..n-1 (round-3 ADVICE). Sparse ids would silently cap the
+    effective list count and weaken the quadratic-blowup guard, so ids
+    that aren't dense are a loud error here, not a quiet degradation.
+    (All shipped corpora are dense: testdata generates sequential
+    vec_id and tools/make_scaled_dir.py's disjoint-universe shift
+    preserves density.)"""
+    row = emb.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+    ).first()
+    n = int(row["n"])
+    if n and (int(row["lo"]) != 0 or int(row["hi"]) != n - 1):
+        raise ValueError(
+            "semantic dedup requires dense vec_id 0..n-1 (got "
+            f"min={row['lo']}, max={row['hi']}, n={n}); re-rank ids first"
+        )
+    return n
+
+
 def _sem_params(n: int) -> tuple[int, int]:
     """(n_lists, train_stride) for a corpus of ``n`` vectors — the integer
     sizing both engines evaluate (mirrored in the oracle's ``prm`` CTE).
-    Invariant: the strided sample always holds at least ``k`` rows, so the
-    k lowest-id seeds exist and the effective list count never saturates
-    below the requested one (tests/test_scale_guards.py pins this)."""
+    Invariant: given dense ids 0..n-1 (checked by ``_dense_count``), the
+    strided sample always holds at least ``k`` rows, so the k lowest-id
+    seeds exist and the effective list count never saturates below the
+    requested one (tests/test_scale_guards.py pins this)."""
     k = max(8, -(-n // _SEM_BLOCK))
     m = max(1, n // max(_SEM_TRAIN, 4 * k))
     return k, m
@@ -772,8 +798,9 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = _corpus_and_queries(spark, sf_dir)
     # k and the training stride are integer functions of the corpus count
     # (mirrored in the oracle's `prm` CTE); the count is one columnar
-    # scan, the same driver-side scalar the Lloyd trainer needs anyway
-    n = emb.count()
+    # scan, the same driver-side scalar the Lloyd trainer needs anyway —
+    # and it validates the dense-id stride precondition in the same job
+    n = _dense_count(emb)
     k, m = _sem_params(n)
     train = emb.filter(F.col("vec_id") % m == 0)
     cent = sim.ivf_centroids(train, n_lists=k, n_iter=2)
@@ -781,7 +808,7 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join): checkpoint so the nearest-centroid pass runs once, not 3×
     # (measured 146 → ~30 s at the 30× dir together with the
     # literal-path crossover fix in operators/similarity.py)
-    assigned = sim.ivf_assign(emb, cent).localCheckpoint(eager=False)
+    assigned = stage_cache(sim.ivf_assign(emb, cent))
     return _greedy_drop(assigned, "list_id", ["list_id"])
 
 
@@ -805,7 +832,8 @@ def v10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sem2_params(n: int) -> tuple[int, int, int]:
     """(k1, k2, train_stride): integer sizing both engines evaluate.
     k1·k2 ≥ ktot = max(8, ceil(n/250)); the coarse trainer's sample only
-    needs ≥ k1 rows now (sqrt-sized), so the stride target is 4·k1."""
+    needs ≥ k1 rows now (sqrt-sized), so the stride target is 4·k1.
+    Same dense-id precondition as ``_sem_params`` (``_dense_count``)."""
     ktot = max(8, -(-n // _SEM_BLOCK))
     k1 = math.ceil(math.sqrt(ktot))
     k2 = -(-ktot // k1)
@@ -887,7 +915,7 @@ def _sem2_params(n: int) -> tuple[int, int, int]:
 )
 def v12_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = _corpus_and_queries(spark, sf_dir)
-    n = emb.count()
+    n = _dense_count(emb)
     k1, k2, m = _sem2_params(n)
     train = emb.filter(F.col("vec_id") % m == 0)
     cent = sim.ivf_centroids(train, n_lists=k1, n_iter=2)
@@ -895,14 +923,12 @@ def v12_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the assignment join) — checkpoint so the nearest-centroid pass
     # runs once; same again for fine, which heads three consumers
     # (both pair sides + the final join)
-    coarse = (
-        sim.ivf_assign(emb, cent)
-        .withColumnRenamed("list_id", "coarse_id")
-        .localCheckpoint(eager=False)
+    coarse = stage_cache(
+        sim.ivf_assign(emb, cent).withColumnRenamed("list_id", "coarse_id")
     )
-    fine = sim.fine_seed_assign(
-        coarse, k2, coarse_col="coarse_id"
-    ).localCheckpoint(eager=False)
+    fine = stage_cache(
+        sim.fine_seed_assign(coarse, k2, coarse_col="coarse_id")
+    )
     return _greedy_drop(fine, "fine_id", ["coarse_id", "fine_id"])
 
 
@@ -977,10 +1003,10 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         v6_knn_graph(spark, sf_dir)
         .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        # three iterations re-read the edge list; checkpoint the kNN
-        # search once instead of running it per iteration
-        .localCheckpoint(eager=False)
     )
+    # three iterations re-read the edge list; materialize the kNN search
+    # once instead of running it per iteration
+    edges = stage_cache(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ew = edges.join(outdeg, "src")
     nodes = (

@@ -1,0 +1,84 @@
+"""Mid-plan materialization with a selectable durability mode.
+
+Several catalog entries have a FAN-OUT HEAD: one expensive intermediate
+(an IVF assignment, an exploded shingle set, a cleaned corpus) consumed by
+2-4 downstream plan branches. Without materialization every consumer
+recomputes the head — measured 2-5x end-to-end on the heavy vector/dedup
+entries — so those sites pin the head via :func:`stage_cache`.
+
+Three modes, chosen by ``SPARK_GRAFT_CACHE_MODE``:
+
+``local`` (default)
+    ``DataFrame.localCheckpoint`` — executor-local blocks, lineage
+    truncated. Fastest, and the right call for the single-JVM bench/driver
+    protocol. CAVEAT (round-3 ADVICE): on a real multi-executor cluster an
+    executor loss makes the truncated plan unrecoverable (job retry, not
+    recompute), and blocks persist for the session lifetime unless the
+    caller unpersists — the bench's per-query GC handles that locally.
+``persist``
+    ``persist(StorageLevel.MEMORY_AND_DISK)`` — lineage retained, so an
+    executor loss recomputes the lost blocks; the 100 TB default. The plan
+    tree is NOT truncated, so iterative drivers (operators/graph.py) that
+    checkpoint per round to bound plan growth still force ``local`` or
+    ``reliable`` for their loop state.
+``reliable``
+    ``DataFrame.checkpoint`` — blocks written to the fault-tolerant
+    checkpoint dir (``SPARK_GRAFT_CHECKPOINT_DIR`` must point at shared
+    storage, e.g. HDFS/S3); survives executor AND driver restarts.
+
+All three are semantically identical (same rows, same schema); the mode
+only trades recompute cost against fault tolerance, which is why a plain
+env switch is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_MODES = ("local", "persist", "reliable")
+
+
+def cache_mode() -> str:
+    mode = os.environ.get("SPARK_GRAFT_CACHE_MODE", "local")
+    if mode not in _MODES:
+        raise ValueError(
+            f"SPARK_GRAFT_CACHE_MODE={mode!r} not one of {_MODES}"
+        )
+    return mode
+
+
+def stage_cache(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize a fan-out head under the session's durability mode.
+
+    ``eager=True`` forces computation now (callers that need a stable
+    snapshot before mutating inputs, e.g. incremental state pinning);
+    the default defers to first use like any lazy plan node.
+    """
+    mode = cache_mode()
+    if mode == "persist":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    if mode == "reliable":
+        ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        sc = df.sparkSession.sparkContext
+        # idempotent: first caller wins; checkpoint() raises if unset
+        if ckdir and sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def loop_cache(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialization for ITERATIVE loop state (label propagation,
+    incremental stores): the plan must be truncated each round or analysis
+    time grows with iteration count, so ``persist`` mode falls back to
+    ``local`` here (with the executor-loss caveat) rather than silently
+    building an ever-deeper tree. ``reliable`` mode is honored."""
+    if cache_mode() == "reliable":
+        return stage_cache(df, eager=eager)
+    return df.localCheckpoint(eager=eager)

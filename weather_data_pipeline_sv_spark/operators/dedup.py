@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import stage_cache
 from ..functions.partitioning import ensure_min_parallelism
 
 TOKEN_PATTERN = r"\s+"
@@ -90,17 +91,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _materialize(sh: DataFrame, enabled: bool) -> DataFrame:
-    """Lazily localCheckpoint the exploded shingle set.
+    """Materialize the exploded shingle set (functions/caching mode).
 
     The shingle frame is consumed 3-4x downstream (signatures, counts, and
     both sides of the verification join); without materialization each
     consumer re-tokenizes and re-explodes the corpus. Measured at 66k docs:
-    ~5x end-to-end speedup. Tradeoff: executor-local storage holds the
-    exploded rows (spills to disk), and lineage is truncated — lost blocks
-    mean job retry rather than recompute. Callers running inside Structured
-    Streaming must pass materialize=False (checkpointing a streaming DF is
-    unsupported)."""
-    return sh.localCheckpoint(eager=False) if enabled else sh
+    ~5x end-to-end speedup. Durability follows SPARK_GRAFT_CACHE_MODE (see
+    functions/caching.py for the executor-loss trade). Callers running
+    inside Structured Streaming must pass materialize=False (checkpointing
+    a streaming DF is unsupported)."""
+    return stage_cache(sh) if enabled else sh
 
 
 #: Default stop-shingle cap for the shared-shingle self-join: a shingle

@@ -11,9 +11,10 @@ Algorithm: label(v) starts as v; each round every vertex takes the min of
 its own label and its neighbors' labels; converged when no label changes.
 Rounds = graph diameter (near-dup clusters are shallow — typically 2-4
 rounds). Each round is one join + one partial-aggregating groupBy, both
-shuffling on vertex id; labels are lazily localCheckpoint-ed per round so
-round i's plan does not nest rounds 0..i-1 (the canonical iterative-Spark
-pattern — same reasoning as the IVF Lloyd loop).
+shuffling on vertex id; labels are materialized per round via
+functions/caching.loop_cache (plan-truncating) so round i's plan does not
+nest rounds 0..i-1 (the canonical iterative-Spark pattern — same
+reasoning as the IVF Lloyd loop).
 
 The convergence check collects a single count per round — a scalar, not
 data — and the loop is bounded by ``max_iter`` as a safety net.
@@ -23,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.caching import loop_cache
 
 
 def connected_components(
@@ -42,9 +45,9 @@ def connected_components(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
     )
 
-    labels = vertices.select(
+    labels = loop_cache(vertices.select(
         F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")
-    ).localCheckpoint(eager=False)
+    ))
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -62,7 +65,8 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = loop_cache(updated, eager=True)
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if changed == 0:

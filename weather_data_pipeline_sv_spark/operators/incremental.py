@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import loop_cache, stage_cache
+
 from ..functions.textstats import symbol_ratio
 from .dedup import (
     _attach_jaccard,
@@ -145,9 +147,7 @@ def process_corpus_batch(
     # derived near-dup state for the batch's uniq docs. Uncapped shingles
     # (max_shingle_df needs corpus-global doc frequencies — not
     # incrementally computable without a store-wide rescan).
-    sh = explode_shingles(uniq, "doc_id", text_col, SHINGLE_N).localCheckpoint(
-        eager=False
-    )
+    sh = stage_cache(explode_shingles(uniq, "doc_id", text_col, SHINGLE_N))
     sig = minhash_signatures(sh, N_HASHES)
     bands = _band_table(sig)
     n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -247,10 +247,12 @@ class CorpusStore:
 
     def append(self, delta: dict[str, DataFrame]) -> None:
         """Persist a batch delta. The delta plans lazily READ this store's
-        parquet, so each is pinned (eager localCheckpoint) before any
-        append mutates the directories they read."""
+        parquet, so each is pinned (eager, LINEAGE-TRUNCATING — loop_cache,
+        never plain persist: a recompute after the append would re-read the
+        mutated directories and produce different rows) before any append
+        mutates the directories they read."""
         pinned = {
-            name: df.localCheckpoint(eager=True) for name, df in delta.items()
+            name: loop_cache(df, eager=True) for name, df in delta.items()
         }
         for name, df in pinned.items():
             df.write.mode("append").parquet(os.path.join(self.root, name))
