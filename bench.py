@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "a21_value_histogram",
     "a22_stat_aggregates",
     "v12_semantic_dedup_2level",
+    # round-4 additions
+    "pipe4_incremental_semantic_dedup",
 ]
 
 

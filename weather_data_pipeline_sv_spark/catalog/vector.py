@@ -18,7 +18,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.caching import stage_cache
+from ..functions.caching import loop_cache, stage_cache
 from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd, rnd_sql
 from ..operators import similarity as sim
@@ -1124,3 +1124,106 @@ def v11_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(hit * 1.0 / _TOP_K, 4).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE4 — incremental semantic dedup: the daily-slice counterpart of v10
+# (operators/incremental_vectors.py), the vector twin of pipe3. The coarse
+# quantizer is trained ONCE on the first slice and FIXED; each subsequent
+# slice is assigned map-side against those centroids and greedy-dropped
+# against the accumulated store (store-vs-batch + within-batch pairs, the
+# batch side broadcast so the store is never shuffled).
+#
+# The oracle deliberately computes the ONE-SHOT semantics — train on
+# slice 1, assign ALL vectors, greedy-drop within lists over the full id
+# order — so a hash match proves correctness AND the incremental ≡ batch
+# equivalence in a single check (same proof shape as pipe3's batch-
+# equality invariant: dropped(v) only quantifies over ids < v, which are
+# all in the store when v's slice arrives).
+# ---------------------------------------------------------------------------
+@register(
+    "pipe4_incremental_semantic_dedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    prm0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    prm1 AS (SELECT n, (n - 1) // 3 AS cut1 FROM prm0),
+    prm AS (
+      SELECT n, cut1,
+             CAST(greatest(8, ceil((cut1 + 1) / {_SEM_BLOCK}.0)) AS BIGINT)
+               AS k,
+             CAST(greatest(1, (cut1 + 1) // greatest({_SEM_TRAIN},
+                    4 * CAST(greatest(8, ceil((cut1 + 1) / {_SEM_BLOCK}.0))
+                        AS BIGINT))) AS BIGINT) AS m
+      FROM prm1
+    ),
+    vt AS (
+      SELECT v.* FROM v CROSS JOIN prm
+      WHERE v.vec_id <= prm.cut1 AND v.vec_id % prm.m = 0
+    ),
+    c0 AS (
+      SELECT list_id, centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS list_id,
+               emb AS centroid
+        FROM vt
+      ) x CROSS JOIN prm WHERE x.list_id < prm.k
+    ),
+    {_duck_assign('a0', 'c0', 'vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', 'vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs
+      WHERE {rnd_sql('cos', 6)} >= {_SEM_TAU}
+    )
+    SELECT s.vec_id, s.list_id, d.vec_id IS NULL AS kept
+    FROM assigned s LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def pipe4_incremental_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import incremental_vectors as ivec
+
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    n = _dense_count(emb)
+    cut1, cut2 = (n - 1) // 3, 2 * (n - 1) // 3
+    # slice-1 count is cut1+1 exactly because ids are dense (checked)
+    k, m = _sem_params(cut1 + 1)
+    slices = [
+        emb.filter(F.col("vec_id") <= cut1),
+        emb.filter((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)),
+        emb.filter(F.col("vec_id") > cut2),
+    ]
+    train = slices[0].filter(F.col("vec_id") % m == 0)
+    # trained once on slice 1, fixed for every later slice; collected once
+    # (k x dim doubles) so the three assignment passes share the literal
+    cent_rows = sim._centroid_rows(
+        sim.ivf_centroids(train, n_lists=k, n_iter=2)
+    )
+    store: DataFrame | None = None
+    for sl in slices:
+        # slices here grow with the corpus (n/3 each), so the bounded-
+        # daily-slice broadcast default does not apply
+        delta = ivec.process_vector_batch(
+            sl, cent_rows, store, broadcast_batch=False
+        )
+        # loop state: truncate per slice (same reasoning as pipe3's store).
+        # EAGER: a lazy localCheckpoint here first materializes inside the
+        # NEXT slice's join job, and the released prior-store handle then
+        # races straggler tasks — measured 17 "non-existent accumulator"
+        # DAGScheduler traces per run (0 with eager, same wall-clock).
+        store = delta if store is None else loop_cache(
+            store.unionByName(delta), eager=True
+        )
+    return store.select("vec_id", "list_id", "kept")
