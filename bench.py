@@ -77,6 +77,25 @@ BENCH_QUERIES = [
     "v12_semantic_dedup_2level",
     # round-4 additions
     "pipe4_incremental_semantic_dedup",
+    "t14_perplexity_buckets",
+    "v13_pq_encode",
+    "v14_pq_adc_topk",
+    "d10_bloom_decontaminate",
+    # round-4: the shuffle-bearing entries the round-3 verdict flagged as
+    # unbenched — promoted into the headline suite so every future round
+    # measures them (d6's iterative connected components is the plan
+    # class that produced both prior 30x surprises)
+    "d5_dedup_survivors",
+    "d6_dedup_clusters",
+    "d7_decontaminate",
+    "e2_funnel",
+    "e3_retention_cohorts",
+    "v6_knn_graph",
+    "v9_matryoshka_overlap",
+    "t8_tfidf_terms",
+    "t9_repetition_stats",
+    "m5_media_near_dup",
+    "pipe3_incremental_corpus",
 ]
 
 

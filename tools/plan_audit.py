@@ -6,8 +6,10 @@ executes nothing; the documented EXCEPTIONS are the self-sizing entries,
 which run bounded driver-side jobs at build time — Lloyd-trained IVF
 (v4, v11) collects k x dim centroids, the semantic-dedup family
 (v10/v12) additionally derives its list count from a corpus count(),
-g1 sizes its kNN blocking the same way, and pipe3 materializes its
-incremental state. Those jobs are the operators' own bounded setup
+g1 sizes its kNN blocking the same way, the PQ family (v13/v14) Lloyd-
+trains its 8 sub-codebooks at build, pipe3 materializes its incremental
+state, and pipe4 both trains its fixed quantizer and replays its three
+store-building slices. Those jobs are the operators' own bounded setup
 (counts and k x dim collects), not result materialization.
 
 Counted features:

@@ -931,10 +931,7 @@ def t9_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_MOD = 17
 _DECON_THRESH = 0.2
 
-
-@register(
-    "d7_decontaminate",
-    oracle=f"""
+_D7_ORACLE = f"""
     {_DUCK_DOC_SHINGLES},
       eval_sh AS (
         SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0
@@ -954,15 +951,10 @@ _DECON_THRESH = 0.2
              AS contamination,
            (n_eval_hits * 1.0 / n_shingles >= {_DECON_THRESH}) AS is_contaminated
     FROM agg
-    """,
-)
-def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir, "documents")["documents"]
-    eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
-    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
-    res = dd.ngram_decontaminate(
-        corpus, eval_df, "doc_id", "text", n=3, threshold=_DECON_THRESH
-    )
+    """
+
+
+def _decon_result(res: DataFrame) -> DataFrame:
     return res.select(
         "doc_id",
         "n_shingles",
@@ -970,6 +962,39 @@ def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("contamination"), 4).alias("contamination"),
         "is_contaminated",
     )
+
+
+@register("d7_decontaminate", oracle=_D7_ORACLE)
+def d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    res = dd.ngram_decontaminate(
+        corpus, eval_df, "doc_id", "text", n=3, threshold=_DECON_THRESH
+    )
+    return _decon_result(res)
+
+
+# ---------------------------------------------------------------------------
+# D10 — Bloom-prefiltered decontamination: the SAME semantics as d7 (it
+# shares d7's oracle verbatim — a hash match proves the Bloom layer is
+# result-invisible), routed through a 2^20-bit bitmap built with
+# bit_or/xxhash64 built-ins and broadcast at ≤128 KB regardless of eval-
+# set size. d7's shape broadcasts the distinct eval SHINGLE STRINGS,
+# which stops fitting when the decontamination list covers every eval
+# suite; here only bloom-passing shingles (true hits + ~1% false
+# positives) reach the exact-confirm join. See
+# operators/dedup.py::bloom_decontaminate for the construction.
+# ---------------------------------------------------------------------------
+@register("d10_bloom_decontaminate", oracle=_D7_ORACLE)
+def d10_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    eval_df = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    res = dd.bloom_decontaminate(
+        corpus, eval_df, "doc_id", "text", n=3, threshold=_DECON_THRESH
+    )
+    return _decon_result(res)
 
 
 # ---------------------------------------------------------------------------
@@ -1070,9 +1095,7 @@ def t8_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # build side by orders of magnitude — semantics identical for every
 # surviving bigram.
 # ---------------------------------------------------------------------------
-@register(
-    "t10_bigram_lm_score",
-    oracle=f"""
+_T10_ORACLE = f"""
     WITH tk AS (
       SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
     ), bg AS (
@@ -1093,8 +1116,10 @@ def t8_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_bigrams,
            floor((avg(logp)) * 10000.0 + 0.5 + 1e-6) / 10000.0 AS avg_logp
     FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("t10_bigram_lm_score", oracle=_T10_ORACLE)
 def t10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") >= 2)
     bg = base.select("doc_id", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram"))
@@ -1114,6 +1139,65 @@ def t10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         rnd(F.avg("logp"), 4).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T14 — perplexity bucketing (the CCNet head/middle/tail split): score every
+# document under the t10 bigram LM, then cut the score distribution at its
+# exact 1/3 and 2/3 quantiles and label each document head (most probable
+# third), middle, or tail. Pretraining pipelines use the bucket as a
+# curriculum/filter signal; computing it from the corpus's own quantiles
+# (not fixed thresholds) is what makes the split distribution-free.
+#
+# Scale shape: everything up to the scores is t10's plan (one bigram
+# explode feeding LM + scoring join). The two cut points are a single
+# exact-percentile aggregate — ONE row — kept IN-PLAN via
+# crossJoin(broadcast(...)): no driver collect, no global sort, no
+# single-partition window (an NTILE(3) over all docs would be exactly the
+# global-window scale-killer this avoids). At 100 TB one would swap
+# percentile for percentile_approx with a pinned accuracy; the exact form
+# is kept here because the oracle must replay it bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "t14_perplexity_buckets",
+    oracle=f"""
+    WITH t10 AS ({_T10_ORACLE}),
+    cuts AS (
+      SELECT floor(quantile_cont(avg_logp, 1.0/3) * 1000000.0 + 0.5 + 1e-6)
+               / 1000000.0 AS c1,
+             floor(quantile_cont(avg_logp, 2.0/3) * 1000000.0 + 0.5 + 1e-6)
+               / 1000000.0 AS c2
+      FROM t10
+    )
+    SELECT t10.doc_id, t10.avg_logp,
+           CASE WHEN t10.avg_logp >= cuts.c2 THEN 'head'
+                WHEN t10.avg_logp >= cuts.c1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM t10 CROSS JOIN cuts
+    """,
+)
+def t14_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scored frame heads two consumers (the cuts aggregate + the final
+    # labeling pass) — pin it so the LM plan runs once, not twice
+    scored = stage_cache(t10_bigram_lm_score(spark, sf_dir))
+    # Spark `percentile` and DuckDB `quantile_cont` share the same
+    # definition (linear interpolation at p*(n-1)); inputs are the 4-dp
+    # rounded scores, cuts re-rounded at 6 dp, so both engines compare
+    # against identical constants
+    cuts = scored.agg(
+        F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)).alias("q1"),
+        F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)).alias("q2"),
+    ).select(
+        rnd(F.col("q1"), 6).alias("c1"), rnd(F.col("q2"), 6).alias("c2")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_logp",
+        F.when(F.col("avg_logp") >= F.col("c2"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

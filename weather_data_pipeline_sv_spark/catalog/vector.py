@@ -1227,3 +1227,175 @@ def pipe4_incremental_semantic_dedup(
             store.unionByName(delta), eager=True
         )
     return store.select("vec_id", "list_id", "kept")
+
+
+# ---------------------------------------------------------------------------
+# V13/V14 — product quantization (Jégou et al. 2011, operators/similarity.py
+# pq_*): M=8 contiguous subspaces × K=16 codewords, each codebook the same
+# deterministic Lloyd as the IVF coarse quantizer (lowest-id seeds, 2
+# steps) replayed per-subspace by the oracle, so codes, distortion, AND
+# the ADC ranking are value-checked end-to-end. v13 is the encoder
+# (64× compression: 8 code bytes replace 512 vector bytes); v14 is
+# asymmetric-distance top-k over the CODES — the search path that never
+# touches raw corpus vectors. K is a design constant (2^bits), so encode
+# is a fixed M·K-distance map pass at any corpus size — no corpus-scaled
+# knob, no quadratic-in-disguise.
+# ---------------------------------------------------------------------------
+_PQ_SUB = 8
+_PQ_SUBDIM = _DIM // _PQ_SUB
+_PQ_K = 16
+
+_PQ_D2 = rnd_sql(
+    _D2.format(dim=_PQ_SUBDIM, a="v.emb", b="c.centroid"), 9
+)
+
+
+def _duck_pq_assign(name: str, s: int, cent: str, with_d: bool = False) -> str:
+    dcol = ", d" if with_d else ""
+    return f"""
+    {name} AS (
+      SELECT vec_id, emb, list_id{dcol} FROM (
+        SELECT v.vec_id, v.emb, c.list_id, {_PQ_D2} AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_PQ_D2} ASC, c.list_id ASC) AS rn
+        FROM sv{s} v CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _duck_pq_recompute(name: str, assigned: str, prev: str) -> str:
+    return f"""
+    {name}_m AS (
+      SELECT list_id, list(m ORDER BY d) AS new_centroid FROM (
+        SELECT a.list_id, sd.d, avg(a.emb[sd.d]) AS m
+        FROM {assigned} a CROSS JOIN subdims sd GROUP BY a.list_id, sd.d
+      ) GROUP BY list_id
+    ),
+    {name} AS (
+      SELECT p.list_id, coalesce(m.new_centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN {name}_m m ON p.list_id = m.list_id
+    )"""
+
+
+def _duck_pq_prefix() -> str:
+    """Shared WITH-body: per-subspace slice views + the 2-step Lloyd chain
+    ending in codebook s{s}c2 and final assignment s{s}e (code + distance)."""
+    parts = [
+        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"subdims AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS d)",
+    ]
+    for s in range(_PQ_SUB):
+        off = s * _PQ_SUBDIM
+        parts.append(
+            f"sv{s} AS (SELECT vec_id, emb[{off + 1}:{off + _PQ_SUBDIM}]"
+            " AS emb FROM v)"
+        )
+        parts.append(f"""s{s}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS list_id,
+             emb AS centroid
+      FROM sv{s} ORDER BY vec_id LIMIT {_PQ_K}
+    )""")
+        parts.append(_duck_pq_assign(f"s{s}a0", s, f"s{s}c0").strip())
+        parts.append(_duck_pq_recompute(f"s{s}c1", f"s{s}a0", f"s{s}c0").strip())
+        parts.append(_duck_pq_assign(f"s{s}a1", s, f"s{s}c1").strip())
+        parts.append(_duck_pq_recompute(f"s{s}c2", f"s{s}a1", f"s{s}c1").strip())
+        parts.append(
+            _duck_pq_assign(f"s{s}e", s, f"s{s}c2", with_d=True).strip()
+        )
+    return ",\n    ".join(parts)
+
+
+_PQ_CODE_CONCAT = ", ".join(
+    f"CAST(s{s}e.list_id AS VARCHAR)" for s in range(_PQ_SUB)
+)
+_PQ_ERR_SUM = " + ".join(f"s{s}e.d" for s in range(_PQ_SUB))
+_PQ_ENC_JOINS = "\n    ".join(
+    f"JOIN s{s}e ON s{s}e.vec_id = v.vec_id" for s in range(_PQ_SUB)
+)
+
+
+@register(
+    "v13_pq_encode",
+    oracle=f"""
+    WITH {_duck_pq_prefix()}
+    SELECT v.vec_id,
+           concat_ws('-', {_PQ_CODE_CONCAT}) AS code,
+           {rnd_sql(_PQ_ERR_SUM, 6)} AS recon_err
+    FROM v
+    {_PQ_ENC_JOINS}
+    """,
+)
+def v13_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    books = sim.pq_train(emb, _PQ_SUB, _PQ_K, _PQ_SUBDIM, n_iter=2)
+    enc = sim.pq_encode(emb, books, _PQ_SUBDIM)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            "-", *[F.col(f"code_{s}") for s in range(_PQ_SUB)]
+        ).alias("code"),
+        rnd(F.col("recon_err"), 6).alias("recon_err"),
+    )
+
+
+_PQ_DT_JOINS = "\n      ".join(
+    f"JOIN s{s}e e{s} ON e{s}.vec_id = x.vec_id\n      "
+    f"JOIN dt{s} ON dt{s}.query_id = q.query_id AND dt{s}.code = e{s}.list_id"
+    for s in range(_PQ_SUB)
+)
+_PQ_ADC_SUM = " + ".join(f"dt{s}.d" for s in range(_PQ_SUB))
+
+
+def _duck_pq_dts() -> str:
+    parts = []
+    for s in range(_PQ_SUB):
+        off = s * _PQ_SUBDIM
+        parts.append(
+            f"""qs{s} AS (
+      SELECT vec_id AS query_id, emb[{off + 1}:{off + _PQ_SUBDIM}] AS emb
+      FROM v WHERE vec_id < {_N_QUERIES}
+    )"""
+        )
+        d2 = rnd_sql(
+            _D2.format(dim=_PQ_SUBDIM, a="q.emb", b="c.centroid"), 9
+        )
+        parts.append(
+            f"""dt{s} AS (
+      SELECT q.query_id, c.list_id AS code, {d2} AS d
+      FROM qs{s} q CROSS JOIN s{s}c2 c
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "v14_pq_adc_topk",
+    oracle=f"""
+    WITH {_duck_pq_prefix()},
+    {_duck_pq_dts()},
+    pairs AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_SUM} AS adc
+      FROM (SELECT DISTINCT query_id FROM qs0) q
+      CROSS JOIN v x
+      {_PQ_DT_JOINS}
+      WHERE x.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC) AS INTEGER)
+               AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, {rnd_sql('adc', 4)} AS adc_dist, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def v14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _corpus_and_queries(spark, sf_dir)
+    books = sim.pq_train(emb, _PQ_SUB, _PQ_K, _PQ_SUBDIM, n_iter=2)
+    enc = sim.pq_encode(emb, books, _PQ_SUBDIM)
+    out = sim.pq_adc_topk(enc, q, books, _PQ_SUBDIM, _TOP_K)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -420,3 +420,93 @@ def ngram_decontaminate(
             (frac >= threshold).alias("is_contaminated"),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame, eval_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    threshold: float = 0.2, n_bits: int = 1 << 20, n_hashes: int = 2,
+) -> DataFrame:
+    """:func:`ngram_decontaminate` behind a Bloom-filter prefilter — the
+    variant for eval sets whose DISTINCT shingle set is too large to
+    broadcast whole. Output is ROW-IDENTICAL to the exact operator (the
+    catalog entry shares d7's oracle): the Bloom filter has no false
+    negatives, and its false positives are removed by the exact-confirm
+    join, so the filter only ever changes WORK, never results.
+
+    Spark 4 doesn't expose ``bloom_filter_agg``/``might_contain`` to SQL,
+    so the filter is built from built-ins: each eval shingle sets
+    ``n_hashes`` bits of an ``n_bits`` bitmap stored as an
+    (``word_idx``, 64-bit word) table — ``xxhash64(shingle, seed)`` →
+    bit index, ``bit_or`` aggregate per word. At the default 2^20 bits
+    the whole bitmap is 16 K words ≤ 128 KB no matter how many shingles
+    the eval set holds (vs. a broadcast of the shingle strings
+    themselves, which grows without bound); probing is ``n_hashes``
+    broadcast hash joins on the word index plus a mask test — map-side,
+    zero shuffle of the corpus stream. Shingles that pass every bit test
+    (true hits + ~(1-e^(-kn/m))^k false positives) continue into the
+    exact confirm join, which at scale runs as a shuffle join over that
+    small surviving stream; everything else short-circuits map-side.
+    Size ``n_bits`` ≈ 10× the expected distinct-shingle count for a ~1%
+    FP rate — an under-sized filter degrades speed, not correctness."""
+    corp_sh = explode_shingles(corpus, id_col, text_col, n)
+    eval_sh = stage_cache(
+        explode_shingles(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+
+    def _bit(h: int) -> tuple[Column, Column]:
+        b = F.pmod(F.xxhash64(F.col("shingle"), F.lit(h)), F.lit(n_bits))
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64(shingle, {h}), {n_bits}) % 64 AS INT))"
+        )
+        return F.shiftright(b, 6).cast("long"), mask
+
+    words = None
+    for h in range(n_hashes):
+        widx, mask = _bit(h)
+        wt = eval_sh.select(widx.alias("word_idx"), mask.alias("m"))
+        words = wt if words is None else words.unionByName(wt)
+    word_table = words.groupBy("word_idx").agg(
+        F.expr("bit_or(m)").alias("word")
+    )
+
+    probe = corp_sh
+    passed = F.lit(True)
+    for h in range(n_hashes):
+        widx, mask = _bit(h)
+        probe = probe.withColumn(f"__w{h}", widx).withColumn(f"__m{h}", mask)
+        wt = word_table.select(
+            F.col("word_idx").alias(f"__wi{h}"),
+            F.col("word").alias(f"__word{h}"),
+        )
+        probe = probe.join(
+            F.broadcast(wt), F.col(f"__w{h}") == F.col(f"__wi{h}"), "left"
+        )
+        passed = passed & F.coalesce(
+            F.col(f"__word{h}").bitwiseAND(F.col(f"__m{h}")) != 0,
+            F.lit(False),
+        )
+
+    # exact confirm restricted to bloom-passing rows: the equi key drives
+    # the join, `passed` rides in the condition so misses never hit the
+    # hash table probe's output
+    ev = eval_sh.select(F.col("shingle").alias("__esh")).withColumn(
+        "__hit", F.lit(1)
+    )
+    frac = F.col("n_eval_hits") / F.col("n_shingles")
+    return (
+        probe.join(ev, (F.col("shingle") == F.col("__esh")) & passed, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("int").alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_eval_hits",
+            frac.alias("contamination"),
+            (frac >= threshold).alias("is_contaminated"),
+        )
+    )

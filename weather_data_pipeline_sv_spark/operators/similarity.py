@@ -798,3 +798,105 @@ def probe_ivf_index(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", rnd("cos", 4).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split each vector into M
+# contiguous subvectors, train an independent K-codeword quantizer per
+# subspace (the same deterministic Lloyd as the IVF coarse quantizer), and
+# store each vector as M small code ids. At 100 TB this is the memory
+# story for ANN: dim-64 float64 vectors (512 B) become M=8 uint8 codes
+# (8 B) — a 64× compression — and asymmetric-distance (ADC) search scans
+# codes with per-query lookup tables instead of touching raw vectors.
+# Codebook size is a CONSTANT (2^bits), so unlike a corpus-scaled list
+# count there is no quadratic-in-disguise here: train is M × n_iter
+# linear passes, encode is one map-side pass of M·K subvector distances.
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame, n_sub: int, k_codes: int, sub_dim: int,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train ``n_sub`` independent codebooks of ``k_codes`` codewords each
+    over contiguous ``sub_dim``-wide slices. Deterministic: per subspace,
+    seeds are the subvectors of the ``k_codes`` lowest ids, then
+    ``n_iter`` Lloyd steps (empty codes keep their old codeword) — exactly
+    :func:`ivf_centroids` on the slice, so an external oracle replays it
+    with the same CTE chain per subspace. Returns driver-side codebooks
+    (M × K × sub_dim doubles — tiny)."""
+    corpus = corpus.persist()
+    try:
+        books = []
+        for s in range(n_sub):
+            sub = corpus.select(
+                id_col,
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
+            )
+            books.append(_ivf_train(sub, k_codes, n_iter, id_col, vec_col))
+    finally:
+        corpus.unpersist()
+    return books
+
+
+def _pq_best(vec_col: str, s: int, sub_dim: int, book) -> Column:
+    """struct<d, list_id> of the nearest codeword for subspace ``s``."""
+    sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+    return F.array_min(_dist_structs(sub, book))
+
+
+def pq_encode(
+    corpus: DataFrame, books, sub_dim: int,
+    id_col: str = "vec_id", vec_col: str = "emb",
+) -> DataFrame:
+    """Encode: (id, vec, code_0..code_{M-1}, recon_err) where ``code_s``
+    is the nearest codeword id in subspace ``s`` and ``recon_err`` the sum
+    of per-subspace squared distances (the PQ distortion). One narrow
+    map-side pass — the codebooks are plan literals (K ≤ 64 per
+    subspace), so no join and no shuffle at any corpus size."""
+    code_cols = []
+    err = F.lit(0.0)
+    for s, book in enumerate(books):
+        best = _pq_best(vec_col, s, sub_dim, book)
+        code_cols.append(best["list_id"].alias(f"code_{s}"))
+        err = err + best["d"]
+    return corpus.select(
+        id_col, vec_col, *code_cols, err.alias("recon_err")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame, queries: DataFrame, books, sub_dim: int, k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id", query_vec_col: str = "qemb",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query keeps full precision, corpus
+    vectors are their codes, and dist(q, x) ≈ Σ_s ||q_s − codeword(x_s)||².
+    The ranking distance is each subspace distance rounded at 9 dp then the
+    sum at 6 dp (engine-stable, lower neighbor_id on ties).
+
+    Scale shape: queries broadcast; per pair the work is M codeword
+    lookups into plan-literal codebooks + M sub_dim-wide squared-L2s —
+    strictly cheaper than the full-dim exact pass, and the corpus side
+    reads CODES only (the 64×-compressed table), never raw vectors. The
+    per-query top-k is a window over the bounded query partition count."""
+    pairs = encoded.crossJoin(F.broadcast(queries)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    adc = F.lit(0.0)
+    for s, book in enumerate(books):
+        cw = F.element_at(_cent_literal(book), F.col(f"code_{s}").cast("int") + 1)
+        sub = F.slice(F.col(query_vec_col), s * sub_dim + 1, sub_dim)
+        adc = adc + rnd(_sq_l2(sub, cw["centroid"]), 9)
+    scored = pairs.select(
+        query_id_col, F.col(id_col).alias("neighbor_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc(rnd(F.col("adc"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "neighbor_id", rnd("adc", 4).alias("adc_dist"), "rank"
+        )
+    )
