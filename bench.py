@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "v13_pq_encode",
     "v14_pq_adc_topk",
     "d10_bloom_decontaminate",
+    "g2_triangle_count",
     # round-4: the shuffle-bearing entries the round-3 verdict flagged as
     # unbenched — promoted into the headline suite so every future round
     # measures them (d6's iterative connected components is the plan

@@ -93,5 +93,10 @@ def test_dense_count_accepts_dense_rejects_sparse(spark):
     dense = spark.range(10).select(F.col("id").alias("vec_id"))
     assert _dense_count(dense) == 10
     sparse = spark.range(10).select((F.col("id") * 2).alias("vec_id"))
-    with pytest.raises(ValueError, match="dense vec_id"):
+    with pytest.raises(ValueError, match="dense UNIQUE vec_id"):
         _dense_count(sparse)
+    # {0,1,1,3} passes a min/max/count-only check — the distinct count
+    # is what catches it
+    dup = spark.createDataFrame([(0,), (1,), (1,), (3,)], "vec_id long")
+    with pytest.raises(ValueError, match="dense UNIQUE vec_id"):
+        _dense_count(dup)

@@ -181,9 +181,12 @@ def test_probe_serves_off_live_store(spark, tmp_path):
     queries = spark.createDataFrame(
         [(100, [1.0, 0.02, 0.0, 0.0])], "query_id long, qemb array<double>"
     )
-    out = sim.probe_ivf_index(
-        spark, os.path.join(root, "vectors"), queries, k=3, n_probe=2
-    ).collect()
+    out = sorted(
+        sim.probe_ivf_index(
+            spark, os.path.join(root, "vectors"), queries, k=3, n_probe=2
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
     assert len(out) == 3
     # nearest neighbor of a ~[1,0,0,0] query is vector 0 (or its twin 2)
     assert out[0]["neighbor_id"] in (0, 2)

@@ -84,7 +84,11 @@ def test_pq_adc_finds_duplicate(spark, vecs):
     q = spark.createDataFrame(
         [(100, dup)], "query_id long, qemb array<double>"
     )
-    out = sim.pq_adc_topk(enc, q, books, SUB_DIM, k=3).collect()
+    # collect() row order after a window+filter isn't contractual — key on rank
+    out = sorted(
+        sim.pq_adc_topk(enc, q, books, SUB_DIM, k=3).collect(),
+        key=lambda r: r["rank"],
+    )
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["neighbor_id"] == 7
 

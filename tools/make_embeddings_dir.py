@@ -37,6 +37,12 @@ from weather_data_pipeline_sv_spark.session import get_spark
 
 def scaled_embeddings(emb, factor: int):
     base = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    id_type = dict(emb.dtypes)["vec_id"]
+    if id_type in ("int", "smallint") and factor * base > 2**31 - 1:
+        raise ValueError(
+            f"factor {factor} x id base {base} exceeds the source's "
+            f"{id_type} vec_id range; widen the source column to bigint"
+        )
     copies = F.array([F.lit(i) for i in range(factor)])
     out = emb.select(
         F.posexplode(copies).alias("__i", "__copy"),
@@ -48,7 +54,10 @@ def scaled_embeddings(emb, factor: int):
         "x * cast(1 - 2 * pmod(hash(d, __copy), 2) as float))"
     )
     return out.select(
-        (F.col("vec_id").cast("long") + F.col("__copy") * F.lit(base))
+        # __copy is int; shift in long so factor*base past 2^31 can't
+        # overflow (ANSI crash) or wrap (colliding ids)
+        (F.col("vec_id").cast("long")
+         + F.col("__copy").cast("long") * F.lit(base).cast("long"))
         .cast(dict(emb.dtypes)["vec_id"])
         .alias("vec_id"),
         F.when(F.col("__copy") == 0, F.col("embedding"))

@@ -233,12 +233,23 @@ _N_PROBE = 4
 _D2 = "list_sum(list_transform(generate_series(1, {dim}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 
 
-def _duck_assign(name: str, cent: str, table: str = "v") -> str:
-    d2 = rnd_sql(_D2.format(dim=_DIM, a="v.emb", b="c.centroid"), 9)
+def _duck_assign(
+    name: str,
+    cent: str,
+    table: str = "v",
+    dim: int = _DIM,
+    with_d: bool = False,
+) -> str:
+    """Lloyd assignment CTE — one generator for the full-dim chains
+    (v4/v10/v12/pipe4) AND the PQ per-subspace chains (v13/v14), which
+    differ only in the source view, the dimension constant, and whether
+    the winning distance is carried out (PQ distortion)."""
+    d2 = rnd_sql(_D2.format(dim=dim, a="v.emb", b="c.centroid"), 9)
+    dcol = ", d" if with_d else ""
     return f"""
     {name} AS (
-      SELECT vec_id, emb, list_id FROM (
-        SELECT v.vec_id, v.emb, c.list_id,
+      SELECT vec_id, emb, list_id{dcol} FROM (
+        SELECT v.vec_id, v.emb, c.list_id, {d2} AS d,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {d2} ASC, c.list_id ASC) AS rn
         FROM {table} v CROSS JOIN {cent} c
@@ -246,12 +257,14 @@ def _duck_assign(name: str, cent: str, table: str = "v") -> str:
     )"""
 
 
-def _duck_recompute(name: str, assigned: str, prev: str) -> str:
+def _duck_recompute(
+    name: str, assigned: str, prev: str, dims: str = "dims"
+) -> str:
     return f"""
     {name}_m AS (
       SELECT list_id, list(m ORDER BY d) AS new_centroid FROM (
-        SELECT a.list_id, dims.d, avg(a.emb[dims.d]) AS m
-        FROM {assigned} a CROSS JOIN dims GROUP BY a.list_id, dims.d
+        SELECT a.list_id, {dims}.d, avg(a.emb[{dims}.d]) AS m
+        FROM {assigned} a CROSS JOIN {dims} GROUP BY a.list_id, {dims}.d
       ) GROUP BY list_id
     ),
     {name} AS (
@@ -683,7 +696,7 @@ def v9_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drops assignment to n·2√k; this flat variant is the value-checked
 # reference implementation of the semantics.
 # ---------------------------------------------------------------------------
-_SEM_TAU = 0.45
+_SEM_TAU = sim.SEM_TAU
 _SEM_BLOCK = 250
 _SEM_TRAIN = 4000
 
@@ -730,12 +743,19 @@ def _dense_count(emb: DataFrame) -> int:
         F.count("*").alias("n"),
         F.min("vec_id").alias("lo"),
         F.max("vec_id").alias("hi"),
+        # duplicates would let {0,1,1,3} pass a min/max/count-only check
+        F.countDistinct("vec_id").alias("nd"),
     ).first()
     n = int(row["n"])
-    if n and (int(row["lo"]) != 0 or int(row["hi"]) != n - 1):
+    if n and (
+        int(row["lo"]) != 0
+        or int(row["hi"]) != n - 1
+        or int(row["nd"]) != n
+    ):
         raise ValueError(
-            "semantic dedup requires dense vec_id 0..n-1 (got "
-            f"min={row['lo']}, max={row['hi']}, n={n}); re-rank ids first"
+            "semantic dedup requires dense UNIQUE vec_id 0..n-1 (got "
+            f"min={row['lo']}, max={row['hi']}, distinct={row['nd']}, "
+            f"n={n}); re-rank ids first"
         )
     return n
 
@@ -946,6 +966,30 @@ def v12_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_D = 0.85
 _PR_ITERS = 3
 
+# v6's kNN edge list as shared oracle CTEs (pairs -> ranked -> e), used by
+# every graph entry (g1 PageRank, g2 triangles) so the graph being analyzed
+# has exactly one definition on the oracle side too
+_DUCK_KNN_EDGES = f"""pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY floor((cos) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    ),
+    e AS (
+      SELECT vec_id AS src, neighbor_id AS dst FROM ranked
+      WHERE rank <= {_KNN_K}
+    )"""
+
 
 def _duck_pr_iter(name: str, prev: str) -> str:
     return f"""
@@ -965,26 +1009,7 @@ def _duck_pr_iter(name: str, prev: str) -> str:
     "g1_pagerank",
     oracle=f"""
     WITH {_DUCK_BLOCKED_V},
-    pairs AS (
-      SELECT a.vec_id, b.vec_id AS neighbor_id,
-             list_dot_product(a.emb, b.emb)
-               / (sqrt(list_dot_product(a.emb, a.emb))
-                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      FROM v a JOIN v b
-        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id <> b.vec_id
-    ),
-    ranked AS (
-      SELECT vec_id, neighbor_id,
-             CAST(row_number() OVER (
-               PARTITION BY vec_id
-               ORDER BY floor((cos) * 1000000.0 + 0.5 + 1e-6) / 1000000.0 DESC,
-                        neighbor_id ASC) AS INTEGER) AS rank
-      FROM pairs
-    ),
-    e AS (
-      SELECT vec_id AS src, neighbor_id AS dst FROM ranked
-      WHERE rank <= {_KNN_K}
-    ),
+    {_DUCK_KNN_EDGES},
     od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
     nn AS (SELECT count(*) AS n FROM v),
     r0 AS (SELECT v.vec_id, 1.0 / nn.n AS r FROM v CROSS JOIN nn),
@@ -1039,6 +1064,111 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             rnd(F.col("r"), 9).alias("pagerank"),
             F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — triangle counting + local clustering coefficient over the v6 kNN
+# graph (undirected: an edge exists when EITHER direction ranked top-k).
+# The standard community-density signal for graph-based corpus curation,
+# computed the distributed way: canonicalize each edge to (a<b), join
+# wedges a-b-c (a<b<c) against the closing edge (a,c) — degree is bounded
+# by 2k so the wedge join is O(n·k²), never quadratic in n. Per-node
+# clustering coefficient 2T/(d(d-1)) is rounded identically on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "g2_triangle_count",
+    oracle=f"""
+    WITH {_DUCK_BLOCKED_V},
+    {_DUCK_KNN_EDGES},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT a AS vec_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tc AS (SELECT vec_id, count(*) AS tri_count FROM corners GROUP BY vec_id),
+    degu AS (
+      SELECT vec_id, count(*) AS degree FROM (
+        SELECT a AS vec_id FROM und UNION ALL SELECT b AS vec_id FROM und
+      ) GROUP BY vec_id
+    )
+    SELECT v.vec_id,
+           CAST(coalesce(degu.degree, 0) AS BIGINT) AS degree,
+           CAST(coalesce(tc.tri_count, 0) AS BIGINT) AS tri_count,
+           {rnd_sql(
+               'CASE WHEN coalesce(degu.degree, 0) >= 2 '
+               'THEN 2.0 * coalesce(tc.tri_count, 0) '
+               '/ (degu.degree * (degu.degree - 1)) ELSE 0.0 END', 6)}
+             AS clustering_coeff
+    FROM v
+    LEFT JOIN degu ON degu.vec_id = v.vec_id
+    LEFT JOIN tc ON tc.vec_id = v.vec_id
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = v6_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    und = (
+        edges.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        ).distinct()
+    )
+    # three self-join consumers (both wedge sides + the closing edge) —
+    # materialize the kNN search once instead of three times
+    und = stage_cache(und)
+    wedge = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedge.alias("w").join(
+        und.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    ).select(F.col("w.a").alias("a"), F.col("w.b").alias("b"), F.col("w.c").alias("c"))
+    corners = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+    )
+    tc = corners.groupBy("vec_id").agg(F.count(F.lit(1)).alias("tri_count"))
+    degu = (
+        und.select(F.col("a").alias("vec_id"))
+        .unionAll(und.select(F.col("b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nodes = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select("vec_id")
+    deg = F.coalesce(F.col("degree"), F.lit(0))
+    t = F.coalesce(F.col("tri_count"), F.lit(0))
+    return (
+        nodes.join(degu, "vec_id", "left")
+        .join(tc, "vec_id", "left")
+        .select(
+            "vec_id",
+            deg.cast("long").alias("degree"),
+            t.cast("long").alias("tri_count"),
+            rnd(
+                F.when(
+                    deg >= 2, F.lit(2.0) * t / (deg * (deg - 1))
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
         )
     )
 
@@ -1245,36 +1375,14 @@ _PQ_SUB = 8
 _PQ_SUBDIM = _DIM // _PQ_SUB
 _PQ_K = 16
 
-_PQ_D2 = rnd_sql(
-    _D2.format(dim=_PQ_SUBDIM, a="v.emb", b="c.centroid"), 9
-)
-
-
 def _duck_pq_assign(name: str, s: int, cent: str, with_d: bool = False) -> str:
-    dcol = ", d" if with_d else ""
-    return f"""
-    {name} AS (
-      SELECT vec_id, emb, list_id{dcol} FROM (
-        SELECT v.vec_id, v.emb, c.list_id, {_PQ_D2} AS d,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {_PQ_D2} ASC, c.list_id ASC) AS rn
-        FROM sv{s} v CROSS JOIN {cent} c
-      ) WHERE rn = 1
-    )"""
+    return _duck_assign(
+        name, cent, table=f"sv{s}", dim=_PQ_SUBDIM, with_d=with_d
+    )
 
 
 def _duck_pq_recompute(name: str, assigned: str, prev: str) -> str:
-    return f"""
-    {name}_m AS (
-      SELECT list_id, list(m ORDER BY d) AS new_centroid FROM (
-        SELECT a.list_id, sd.d, avg(a.emb[sd.d]) AS m
-        FROM {assigned} a CROSS JOIN subdims sd GROUP BY a.list_id, sd.d
-      ) GROUP BY list_id
-    ),
-    {name} AS (
-      SELECT p.list_id, coalesce(m.new_centroid, p.centroid) AS centroid
-      FROM {prev} p LEFT JOIN {name}_m m ON p.list_id = m.list_id
-    )"""
+    return _duck_recompute(name, assigned, prev, dims="subdims")
 
 
 def _duck_pq_prefix() -> str:

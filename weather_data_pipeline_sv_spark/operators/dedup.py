@@ -448,7 +448,16 @@ def bloom_decontaminate(
     exact confirm join, which at scale runs as a shuffle join over that
     small surviving stream; everything else short-circuits map-side.
     Size ``n_bits`` ≈ 10× the expected distinct-shingle count for a ~1%
-    FP rate — an under-sized filter degrades speed, not correctness."""
+    FP rate — an under-sized filter degrades speed, not correctness.
+
+    Plan shape: TWO map-side passes over the corpus stream — a join-free
+    per-doc shingle count, and the bloom probe whose survivors alone
+    enter the exact-confirm inner join — then a doc-cardinality join of
+    the two aggregates. A single-pass variant (exact-confirm as a LEFT
+    join with ``passed`` in the condition) would shuffle EVERY corpus
+    shingle on the shingle key to preserve the non-passing rows,
+    defeating the prefilter; two cheap scans beat one full shuffle at
+    corpus scale."""
     corp_sh = explode_shingles(corpus, id_col, text_col, n)
     eval_sh = stage_cache(
         explode_shingles(eval_df, id_col, text_col, n)
@@ -490,19 +499,27 @@ def bloom_decontaminate(
             F.lit(False),
         )
 
-    # exact confirm restricted to bloom-passing rows: the equi key drives
-    # the join, `passed` rides in the condition so misses never hit the
-    # hash table probe's output
-    ev = eval_sh.select(F.col("shingle").alias("__esh")).withColumn(
-        "__hit", F.lit(1)
+    # branch 1: per-doc shingle count, no join anywhere near it
+    per_doc = corp_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles")
+    )
+    # branch 2: only bloom survivors reach the exact-confirm inner join
+    # (eval side is distinct, so each surviving occurrence matches <= 1 row)
+    ev = eval_sh.select(F.col("shingle").alias("__esh"))
+    hits = (
+        probe.filter(passed)
+        .join(ev, F.col("shingle") == F.col("__esh"), "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_eval_hits"))
     )
     frac = F.col("n_eval_hits") / F.col("n_shingles")
     return (
-        probe.join(ev, (F.col("shingle") == F.col("__esh")) & passed, "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_shingles"),
-            F.coalesce(F.sum("__hit"), F.lit(0)).cast("int").alias("n_eval_hits"),
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("int")
+            .alias("n_eval_hits"),
         )
         .select(
             "doc_id", "n_shingles", "n_eval_hits",

@@ -47,10 +47,12 @@ from pyspark.sql import functions as F
 
 from ..functions.caching import loop_cache, stage_cache
 from ..functions.rounding import rnd
-from .similarity import cosine, ivf_assign, ivf_centroids
+from .similarity import SEM_TAU, cosine, ivf_assign, ivf_centroids
 
-#: SemDeDup cosine threshold — identical to catalog v10/v12 (_SEM_TAU).
-TAU = 0.45
+#: SemDeDup cosine threshold — ``similarity.SEM_TAU``, the same constant
+#: catalog v10/v12 interpolate into their oracles (re-exported under the
+#: module's historic name).
+TAU = SEM_TAU
 
 VECTORS_SCHEMA = "vec_id long, emb array<double>, list_id long, kept boolean"
 
@@ -178,11 +180,15 @@ class VectorStore:
             self._vec_dir
         )
 
-    def process_and_append(self, batch: DataFrame) -> DataFrame:
+    def process_and_append(self, batch: DataFrame, **kwargs) -> DataFrame:
         """Dedup one arriving batch against the store; returns the delta
-        that was appended (callers read ``kept`` off it)."""
+        that was appended (callers read ``kept`` off it). ``kwargs`` pass
+        through to :func:`process_vector_batch` — in particular
+        ``broadcast_batch=False`` when batches grow with the corpus (a
+        growing driver-side broadcast is the j9 bug class; pipe4 sets it)
+        and ``tau`` for a non-default dedup threshold."""
         store = None if not self._has_vectors() else self.vectors()
-        delta = process_vector_batch(batch, self.centroids(), store)
+        delta = process_vector_batch(batch, self.centroids(), store, **kwargs)
         self.append(delta)
         return delta
 
@@ -199,6 +205,7 @@ def incremental_vector_stream(
     checkpoint: str,
     vec_schema: str = "vec_id long, emb array<double>",
     max_files_per_trigger: int | None = None,
+    **process_kwargs,
 ):
     """Structured-Streaming front end: new embedding files land in
     ``input_dir``; each micro-batch is deduped against the store and the
@@ -213,7 +220,9 @@ def incremental_vector_stream(
     stream = reader.parquet(input_dir)
 
     def _process(batch: DataFrame, _batch_id: int) -> None:
-        VectorStore(batch.sparkSession, store_root).process_and_append(batch)
+        VectorStore(batch.sparkSession, store_root).process_and_append(
+            batch, **process_kwargs
+        )
 
     return (
         stream.writeStream.outputMode("update")

@@ -51,6 +51,12 @@ _TWO32 = 4294967296.0
 #: both paths are pinned bit-identical in tests/test_scale_guards.py.
 IVF_LITERAL_MAX_LISTS = 64
 
+#: SemDeDup cosine threshold — the ONE definition shared by the batch
+#: entries (catalog v10/v12, as ``_SEM_TAU``) and the incremental path
+#: (``incremental_vectors.TAU``), so a tuning edit can't drift the
+#: implementations apart from each other or from the oracles.
+SEM_TAU = 0.45
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold dot product of two array<double> columns."""
