@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "v14_pq_adc_topk",
     "d10_bloom_decontaminate",
     "g2_triangle_count",
+    "v15_hard_negative_mining",
+    "smp5_exact_stratified_split",
     # round-4: the shuffle-bearing entries the round-3 verdict flagged as
     # unbenched — promoted into the headline suite so every future round
     # measures them (d6's iterative connected components is the plan
@@ -136,6 +138,16 @@ def main() -> None:
     unknown = [n for n in names if n not in queries]
     if unknown:
         raise SystemExit(f"unknown bench query name(s): {unknown}")
+    # zombie-task suppression at the SOURCE: guard probes and AQE re-plans
+    # cancel jobs whose already-launched tasks keep running (harmless, but
+    # when one completes after System.gc() unregistered its accumulators
+    # the DAGScheduler logs an ERROR per accumulator into the artifact's
+    # stderr). interruptOnCancel makes those cancellations actually
+    # interrupt the tasks; safe here — measured queries write to the noop
+    # sink, so no output protocol can be left half-committed.
+    spark.sparkContext.setJobGroup(
+        "bench", "bench measured queries", interruptOnCancel=True
+    )
     timings: dict[str, float] = {}
     for name in names:
         best = None

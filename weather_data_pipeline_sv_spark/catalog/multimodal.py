@@ -125,13 +125,22 @@ def m4_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M5 — multimodal near-dup: the full composition. Arrow-batched byte
-# histograms (m2) -> dense 16-dim feature vectors (map lookup over the
-# bucket range) -> exact cosine pairs (similarity operator). An entire
-# mapInPandas-powered dedup flow, hash-checked against an independent
-# engine end to end.
+# M5 — multimodal near-dup: FRAME-ANCHORED candidates + histogram-cosine
+# verify. Candidates are media pairs sharing >= 1 aligned sampled frame
+# (m3's 16-byte frames, position-matched md5 equality, frame groups capped
+# at df <= 64 — the d2/d3 stop-shingle pattern for hot keys); only those
+# get the exact 16-dim cosine check on the m2 byte-histogram vectors
+# (Arrow-batched mapInPandas both stages). Candidate keys are content
+# hashes whose DISTINCT count grows with the corpus, so the join stays
+# linear — unlike the two rejected designs, both MEASURED at the 10x dir:
+# all-pairs cosine is a 50k x 50k BNL (1.25e9 pairs, hours), and sign-LSH
+# over the 16-dim histograms collapses entirely (byte profiles of text
+# are so concentrated that every doc shares band keys: 8.0e9 candidate
+# pairs — MORE than all-pairs). Low-dim dense features fundamentally
+# cannot be bucketed by angle here; content frames can.
 # ---------------------------------------------------------------------------
 _NEAR_DUP_T = 0.99995
+_FRAME_DF_CAP = 64
 
 
 @register(
@@ -154,35 +163,39 @@ _NEAR_DUP_T = 0.99995
       SELECT doc_id, list_transform(generate_series(0, 15),
                b -> coalesce(fr[list_position(bk, b)], 0.0)) AS emb
       FROM v
+    ), fr2 AS (
+      SELECT d.doc_id, f.f AS frame_id,
+             md5(substr(d.text, f.f * 16 + 1, 16)) AS fh
+      FROM documents d,
+           unnest(generate_series(0, length(d.text) // 16 - 1, 4)) AS f(f)
+    ), grp AS (
+      SELECT frame_id, fh FROM fr2 GROUP BY frame_id, fh
+      HAVING count(*) BETWEEN 2 AND {_FRAME_DF_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fr2 a
+      JOIN grp g ON g.frame_id = a.frame_id AND g.fh = a.fh
+      JOIN fr2 b ON b.frame_id = a.frame_id AND b.fh = a.fh
+                AND a.doc_id < b.doc_id
     ), p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT cand.id_a, cand.id_b,
              list_dot_product(a.emb, b.emb)
                / (sqrt(list_dot_product(a.emb, a.emb))
                   * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-      FROM dense a JOIN dense b ON a.doc_id < b.doc_id
+      FROM cand
+      JOIN dense a ON a.doc_id = cand.id_a
+      JOIN dense b ON b.doc_id = cand.id_b
     )
     SELECT id_a, id_b, {rnd_sql('cos', 4)} AS cosine
     FROM p WHERE {rnd_sql('cos', 6)} >= {_NEAR_DUP_T}
     """,
 )
 def m5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import similarity as sim
-
-    hist = mm.byte_histogram(_media(spark, sf_dir), n_buckets=16)
-    dense = (
-        hist.groupBy("media_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bucket", "frac"))
-            ).alias("m")
-        )
-        .select(
-            "media_id",
-            F.expr(
-                "transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0.0d))"
-            ).alias("emb"),
-        )
-    )
-    return sim.cosine_near_dup_pairs(
-        dense, "media_id", "emb", threshold=_NEAR_DUP_T
+    return mm.frame_anchored_near_dup(
+        _media(spark, sf_dir),
+        threshold=_NEAR_DUP_T,
+        frame_bytes=16,
+        every=4,
+        n_buckets=16,
+        frame_df_cap=_FRAME_DF_CAP,
     )

@@ -577,6 +577,51 @@ def smp1_deterministic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SMP5 — EXACT stratified split: within each (lang, source) stratum, rows
+# ordered by the deterministic md5 variate; first ceil(n/10) → test, next
+# ceil(n/10) → val, rest train. smp1's hash split drifts O(1/√n) — fatal
+# for rare-language strata where n is tens of rows; this variant hits
+# every quota exactly. Quota arithmetic is integer ceil on both engines.
+# Scale: one shuffle on the strata key + within-stratum sort — the
+# small-strata tool by design (operators/sampling.py docstring).
+# ---------------------------------------------------------------------------
+@register(
+    "smp5_exact_stratified_split",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, source,
+             {hash_uniform_sql('doc_id', 'xsplit')} AS u
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY u, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM u
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN rn <= (n + 9) // 10 THEN 'test'
+                WHEN rn <= 2 * ((n + 9) // 10) THEN 'val'
+                ELSE 'train' END AS split
+    FROM r
+    """,
+)
+def smp5_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import exact_stratified_split
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return exact_stratified_split(
+        d.select("doc_id", "lang", "source"),
+        ["lang", "source"],
+        "doc_id",
+        test=(1, 10),
+        val=(1, 10),
+        salt="xsplit",
+    )
+
+
+# ---------------------------------------------------------------------------
 # D6 — near-dup clustering: connected components over the Jaccard >= 0.6
 # pair graph (transitive closure — A~B, B~C => one cluster even when A,C
 # never pair directly). Spark side is iterative min-label propagation

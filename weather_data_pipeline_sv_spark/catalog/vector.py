@@ -174,13 +174,11 @@ _DUCK_COS = (
     "(sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(cv.emb, cv.emb)))"
 )
 
-
-@register(
-    "v3_ann_lsh",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    {_DUCK_PLANES},
-    bits AS (
+# v3's banding chain (signature bits → banded buckets → distinct candidate
+# pairs for the first N_QUERIES queries) as shared oracle CTEs, so every
+# LSH-candidate entry (v3 top-k, v15 hard negatives) analyzes exactly the
+# same candidate set on the oracle side too
+_DUCK_LSH_CAND = f"""bits AS (
       SELECT v.vec_id, p.j,
              CASE WHEN {rnd_sql('list_dot_product(v.emb, p.w)', 9)} >= 0
                   THEN '1' ELSE '0' END AS bit
@@ -195,7 +193,15 @@ _DUCK_COS = (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
       WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
-    ),
+    )"""
+
+
+@register(
+    "v3_ann_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_DUCK_PLANES},
+    {_DUCK_LSH_CAND},
     pairs AS (
       SELECT cand.query_id, cand.neighbor_id, {_DUCK_COS} AS cos
       FROM cand
@@ -218,6 +224,63 @@ def v3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.lsh_ann_topk(
         emb, q, spark, k=_TOP_K,
         n_planes=_N_PLANES, band_size=_BAND_SIZE, dim=_DIM,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# V15 — hard-negative mining for contrastive embedding training: for each
+# query, the top-k highest-cosine candidates whose LABEL DIFFERS — the
+# near-misses a contrastive loss learns the most from (in-batch randoms
+# are too easy; exhaustive search is n²). Candidates come from the SAME
+# v3 banding chain (shared _DUCK_LSH_CAND oracle CTEs), so this is the
+# production shape: bucket join → label-mismatch prune → exact cosine →
+# per-query top-k. No new shuffle class beyond v3 — the label filter
+# runs before ranking, and the query side stays bounded at N_QUERIES.
+# ---------------------------------------------------------------------------
+@register(
+    "v15_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_DUCK_PLANES},
+    {_DUCK_LSH_CAND},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id, cl.label AS neg_label,
+             {_DUCK_COS} AS cos
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.neighbor_id
+      JOIN lab ql ON ql.vec_id = cand.query_id
+      JOIN lab cl ON cl.vec_id = cand.neighbor_id
+      WHERE ql.label <> cl.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('cos', 6)} DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, neg_label,
+           {rnd_sql('cos', 4)} AS cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def v15_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select("vec_id", _as_double(F.col("embedding")).alias("emb"), "label")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    out = sim.lsh_ann_topk(
+        emb, q, spark, k=_TOP_K,
+        n_planes=_N_PLANES, band_size=_BAND_SIZE, dim=_DIM,
+        pair_filter=F.col("qlabel") != F.col("label"),
+        carry_cols={"neg_label": "label"},
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 

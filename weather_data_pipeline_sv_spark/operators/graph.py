@@ -44,6 +44,12 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("t"))
     )
+    # the edge list is consumed by EVERY propagation round; un-pinned, its
+    # plan (for near-dup clustering: the whole shingle-explode → Jaccard
+    # pair pipeline) recomputes per round — measured 31.7 → 20.0 s for d6
+    # at the 30× dir (10.5 → 6.8 at 10×), and under a constrained heap the recomputed
+    # aggregates were what OOMed (SCALE.md round-4 spill section)
+    und = loop_cache(und, eager=True)
 
     labels = loop_cache(vertices.select(
         F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")

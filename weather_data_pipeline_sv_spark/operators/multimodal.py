@@ -307,3 +307,89 @@ def audio_window_rms(df: DataFrame, window: int = 32) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(fn, _RMS_SCHEMA)
+
+
+def frame_anchored_near_dup(
+    media: DataFrame,
+    threshold: float,
+    frame_bytes: int = 16,
+    every: int = 4,
+    n_buckets: int = 16,
+    frame_df_cap: int = 64,
+) -> DataFrame:
+    """Media near-dup pairs: FRAME-ANCHORED candidates + byte-histogram
+    cosine verify.
+
+    Candidates are media pairs sharing >= 1 aligned sampled frame
+    (``sample_frames`` position + content-md5 equality, frame groups
+    capped at df <= ``frame_df_cap`` — the stop-shingle pattern for hot
+    keys); only candidates get the exact ``n_buckets``-dim cosine check
+    on the ``byte_histogram`` vectors. Frame hashes are content-derived,
+    so their DISTINCT count grows with the corpus and the anchor join
+    stays linear. The two rejected designs — all-pairs cosine (n² BNL)
+    and sign-LSH over the histograms (collapses: text byte profiles are
+    so concentrated every doc shares band keys) — are documented with
+    10×-dir measurements in catalog/multimodal.py's m5 entry.
+
+    Plan: ``frames`` fans out to the df-cap aggregate and the anchored
+    self-join, and ``dense`` to both verify sides — both heads pinned
+    with ``stage_cache`` so the Arrow ``mapInPandas`` stages run once.
+    Every join side below grows with the corpus, so each carries a
+    ``shuffle_hash`` hint (never a driver broadcast)."""
+    from ..functions.caching import stage_cache
+    from ..functions.rounding import rnd
+    from .similarity import cosine
+
+    hist = byte_histogram(media, n_buckets=n_buckets)
+    dense = stage_cache(
+        hist.groupBy("media_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "frac"))
+            ).alias("m")
+        )
+        .select(
+            "media_id",
+            F.expr(
+                f"transform(sequence(0, {n_buckets - 1}), "
+                "b -> coalesce(element_at(m, b), 0.0d))"
+            ).alias("emb"),
+        )
+    )
+    frames = stage_cache(
+        sample_frames(media, frame_bytes=frame_bytes, every=every).select(
+            "media_id", "frame_id", F.md5("frame").alias("fh")
+        )
+    )
+    shareable = (
+        frames.groupBy("frame_id", "fh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= frame_df_cap))
+        .select("frame_id", "fh")
+    )
+    anchored = frames.join(shareable.hint("shuffle_hash"), ["frame_id", "fh"])
+    cand = (
+        anchored.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            anchored.alias("b").hint("shuffle_hash"),
+            (F.col("a.frame_id") == F.col("b.frame_id"))
+            & (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    x = dense.select(F.col("media_id").alias("id_a"), F.col("emb").alias("va"))
+    y = dense.select(F.col("media_id").alias("id_b"), F.col("emb").alias("vb"))
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(x.hint("shuffle_hash"), "id_a")
+        .join(y.hint("shuffle_hash"), "id_b")
+        .withColumn("cos", c)
+        .filter(rnd(F.col("cos"), 6) >= F.lit(threshold))
+        .select("id_a", "id_b", rnd("cos", 4).alias("cosine"))
+    )

@@ -52,6 +52,54 @@ def stratified_sample(
     return df.filter(hash_uniform(F.col(key_col), salt) < rate)
 
 
+def exact_stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    test: tuple[int, int] = (1, 10),
+    val: tuple[int, int] = (1, 10),
+    salt: str = "xsplit",
+) -> DataFrame:
+    """EXACT per-stratum train/val/test split: within each stratum the
+    rows are ordered by the deterministic md5 variate (key tie-break)
+    and the first ceil(n·test) go to 'test', the next ceil(n·val) to
+    'val', the rest to 'train'. Unlike :func:`split_column`'s
+    hash-proportional split, every stratum hits its quota exactly —
+    the variant you need when strata are small (rare languages, scarce
+    sources) and O(1/√n) hash drift would starve the eval sets.
+
+    Fractions are (numerator, denominator) int pairs; the quota
+    arithmetic is pure integer ceil on both engines, so no float
+    rounding can disagree across engines.
+
+    Scale shape: one shuffle on the strata key, then a within-stratum
+    window sort. A stratum's rows sort on a single partition, so this
+    is the SMALL-STRATA tool by construction — for web-scale strata
+    (say lang='en' at 10^10 docs) use ``split_column``: at that size
+    hash drift is ~1e-5 and the exact quota buys nothing for the cost
+    of sorting the stratum."""
+    from pyspark.sql import Window
+
+    (tn, td), (vn, vd) = test, val
+    u = hash_uniform(F.col(key_col), salt)
+    order_w = Window.partitionBy(*strata_cols).orderBy(
+        u.asc(), F.col(key_col).asc()
+    )
+    count_w = Window.partitionBy(*strata_cols)
+    rn = F.row_number().over(order_w)
+    n = F.count(F.lit(1)).over(count_w)
+    # integer ceil(n*num/den); operands stay < 2^53 so the double
+    # division is exact-then-truncated identically in any engine
+    n_test = ((n * F.lit(tn) + F.lit(td - 1)) / F.lit(td)).cast("long")
+    n_val = ((n * F.lit(vn) + F.lit(vd - 1)) / F.lit(vd)).cast("long")
+    return df.withColumn(
+        "split",
+        F.when(rn <= n_test, F.lit("test"))
+        .when(rn <= n_test + n_val, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def split_column(
     key: Column, val_frac: float = 0.05, test_frac: float = 0.05,
     salt: str = "split",

@@ -172,30 +172,46 @@ def lsh_ann_topk(
     k: int = 5, n_planes: int = 32, band_size: int = 4, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "emb",
     query_id_col: str = "query_id", query_vec_col: str = "qemb",
+    pair_filter: Column | None = None,
+    carry_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Top-k by cosine among LSH-bucket candidates.
 
-    Returns (query_id, neighbor_id, cosine, rank); a true neighbor sharing
-    no band with the query is missed — that is the ANN tradeoff (recall
-    measured in tests; ~0.7 @ 32 planes / 8×4 bands on the test corpus).
+    Returns (query_id, neighbor_id, [carry...], cosine, rank); a true
+    neighbor sharing no band with the query is missed — that is the ANN
+    tradeoff (recall measured in tests; ~0.7 @ 32 planes / 8×4 bands on
+    the test corpus).
+
+    ``pair_filter`` is an optional predicate over the joined
+    (query × corpus) pair frame applied BEFORE ranking — e.g. a
+    label-mismatch condition turns top-k retrieval into hard-negative
+    mining (catalog v15) without duplicating the banding/ranking chain.
+    ``carry_cols`` maps output name → corpus column to carry through
+    (e.g. {"neg_label": "label"}).
     """
     planes = hyperplane_values(n_planes, dim)
-    cb = lsh_buckets(corpus, id_col, vec_col, planes, band_size)
-    qb = lsh_buckets(queries, query_id_col, query_vec_col, planes, band_size)
+    cb = lsh_buckets(
+        corpus.select(id_col, vec_col), id_col, vec_col, planes, band_size
+    )
+    qb = lsh_buckets(
+        queries.select(query_id_col, query_vec_col),
+        query_id_col, query_vec_col, planes, band_size,
+    )
     cand = (
         qb.join(cb, ["band_id", "band_key"])
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(query_id_col, id_col)
         .distinct()
     )
-    pairs = (
-        cand.join(queries, query_id_col)
-        .join(corpus, id_col)
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
-        )
+    carry = carry_cols or {}
+    pairs = cand.join(queries, query_id_col).join(corpus, id_col)
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    pairs = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(src).alias(dst) for dst, src in carry.items()],
+        cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
@@ -204,7 +220,8 @@ def lsh_ann_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            query_id_col, "neighbor_id", rnd("cos", 4).alias("cosine"), "rank"
+            query_id_col, "neighbor_id", *carry.keys(),
+            rnd("cos", 4).alias("cosine"), "rank",
         )
     )
 

@@ -50,7 +50,18 @@ def get_spark(
         # 198 -> 243 s (mid-size broadcasts are genuinely right locally)
         # while the hints alone fixed the one pathological broadcast
         # (gap-fill, 31 -> 13 s — see SCALE.md).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # overridable because the right threshold scales with DRIVER HEAP:
+        # a 64MB serialized table deserializes to several hundred MB while
+        # building the broadcast — fine under the default 16g, fatal under
+        # a 2g memory-constrained run (measured: d6 at the 30x dir dies in
+        # AQE broadcast materialization at 2g/64MB, completes at 2g/8MB —
+        # SCALE.md round-4 spill section)
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_THRESHOLD", str(64 * 1024 * 1024)
+            ),
+        )
         # merge-by-key writers overwrite only touched date partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
