@@ -109,6 +109,25 @@ def main() -> None:
 
     spark = get_spark(app_name="wdp-sv-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Known-benign noise source, silenced for THIS HARNESS only: AQE
+    # cancels in-flight stage-materialization jobs when a query's result
+    # stage wins; their already-launched tasks are invisible to every
+    # tracker surface (job, stage, and executor running-task counts all
+    # read 0 — measured), so no drain can prove them gone before the
+    # between-query System.gc() unregisters dead accumulators, and each
+    # late task-end then logs one ERROR per accumulator (15.7k lines in
+    # one full-suite run, all "Failed to update accumulator ...
+    # (Unknown class)"). Timings and results are unaffected; real
+    # failures still surface as Python exceptions. Engine sessions
+    # outside the bench keep full DAGScheduler logging.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # logging backend differs — noise returns, timings unaffected
     queries = all_queries()
 
     # warmup: spin up executors / codegen paths outside the measurement
@@ -138,16 +157,13 @@ def main() -> None:
     unknown = [n for n in names if n not in queries]
     if unknown:
         raise SystemExit(f"unknown bench query name(s): {unknown}")
-    # zombie-task suppression at the SOURCE: guard probes and AQE re-plans
-    # cancel jobs whose already-launched tasks keep running (harmless, but
-    # when one completes after System.gc() unregistered its accumulators
-    # the DAGScheduler logs an ERROR per accumulator into the artifact's
-    # stderr). interruptOnCancel makes those cancellations actually
-    # interrupt the tasks; safe here — measured queries write to the noop
-    # sink, so no output protocol can be left half-committed.
-    spark.sparkContext.setJobGroup(
-        "bench", "bench measured queries", interruptOnCancel=True
-    )
+    # NOTE on a rejected fix: setJobGroup(interruptOnCancel=True) makes
+    # cancelled zombie tasks report "killed" quickly while their threads
+    # still linger in user code — the drain below then sees 0 running,
+    # System.gc() unregisters accumulators, and the lingering threads'
+    # end events flood stderr (measured: 22.7k DAGScheduler errors vs
+    # ~2k without). Interruption makes the drain LIE; keep cancellation
+    # cooperative and make the drain skeptical instead (hysteresis).
     timings: dict[str, float] = {}
     for name in names:
         best = None
@@ -181,8 +197,9 @@ def main() -> None:
         # counts.
         tracker = spark.sparkContext.statusTracker()
         jtracker = spark.sparkContext._jsc.sc().statusTracker()
-        deadline = time.time() + 10
+        deadline = time.time() + 20
         drained = False
+        clean_reads = 0
         while time.time() < deadline:
             running = sum(
                 e.numRunningTasks() for e in jtracker.getExecutorInfos()
@@ -192,8 +209,19 @@ def main() -> None:
                 and not tracker.getActiveJobsIds()
                 and not tracker.getActiveStageIds()
             ):
-                drained = True
-                break
+                # hysteresis: a single clean read can race a task-end
+                # event still in flight (the executor decrements its
+                # count before the DAGScheduler processes completion);
+                # require three clean reads 250 ms apart before trusting
+                # the drain enough to run the accumulator-unregistering
+                # System.gc()
+                clean_reads += 1
+                if clean_reads >= 3:
+                    drained = True
+                    break
+                time.sleep(0.25)
+                continue
+            clean_reads = 0
             time.sleep(0.05)
         spark.catalog.clearCache()
         gc.collect()

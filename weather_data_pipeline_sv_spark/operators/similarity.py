@@ -846,16 +846,77 @@ def pq_train(
     ``n_iter`` Lloyd steps (empty codes keep their old codeword) — exactly
     :func:`ivf_centroids` on the slice, so an external oracle replays it
     with the same CTE chain per subspace. Returns driver-side codebooks
-    (M × K × sub_dim doubles — tiny)."""
+    (M × K × sub_dim doubles — tiny).
+
+    All ``n_sub`` codebooks train TOGETHER: the seed collect is one job
+    (the k lowest FULL vectors, sliced driver-side — per-subspace seeds
+    are subvectors of the same rows), and each Lloyd step is one job
+    computing every subspace's assignment (the same
+    ``array_min``/9-dp/lower-id expression as :func:`ivf_assign`'s
+    literal path) and per-(subspace, code, dim) means in a single
+    explode + partial-aggregating groupBy. Same arithmetic on the same
+    groups as training each subspace alone — measured 24 → 3 corpus
+    scans (v13 9.97 → faster at sf0.1, where per-job overhead dominated
+    the old per-subspace loop)."""
     corpus = corpus.persist()
     try:
-        books = []
-        for s in range(n_sub):
-            sub = corpus.select(
-                id_col,
-                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
+        seed_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(k_codes)
+            .collect()
+        )
+        books = [
+            [
+                (
+                    i,
+                    [float(x) for x in r[vec_col]][
+                        s * sub_dim : (s + 1) * sub_dim
+                    ],
+                )
+                for i, r in enumerate(seed_rows)
+            ]
+            for s in range(n_sub)
+        ]
+        for _ in range(n_iter):
+            per_sub = [
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _pq_best(vec_col, s, sub_dim, books[s])["list_id"]
+                    .alias("list_id"),
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                    .alias("sub"),
+                )
+                for s in range(n_sub)
+            ]
+            mrows = (
+                corpus.select(F.explode(F.array(*per_sub)).alias("x"))
+                .select(
+                    F.col("x.s").alias("s"),
+                    F.col("x.list_id").alias("list_id"),
+                    F.posexplode("x.sub").alias("pos", "v"),
+                )
+                .groupBy("s", "list_id", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
             )
-            books.append(_ivf_train(sub, k_codes, n_iter, id_col, vec_col))
+            means: dict[tuple[int, int], dict[int, float]] = {}
+            for r in mrows:
+                means.setdefault(
+                    (int(r["s"]), int(r["list_id"])), {}
+                )[int(r["pos"])] = float(r["m"])
+            books = [
+                [
+                    (
+                        lid,
+                        [means[(s, lid)][d] for d in range(sub_dim)]
+                        if (s, lid) in means
+                        else old,
+                    )
+                    for lid, old in books[s]
+                ]
+                for s in range(n_sub)
+            ]
     finally:
         corpus.unpersist()
     return books
