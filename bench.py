@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "g2_triangle_count",
     "v15_hard_negative_mining",
     "smp5_exact_stratified_split",
+    "g3_knn_components",
+    "t15_dsir_weights",
     # round-4: the shuffle-bearing entries the round-3 verdict flagged as
     # unbenched — promoted into the headline suite so every future round
     # measures them (d6's iterative connected components is the plan

@@ -77,3 +77,31 @@ def test_g2_partition_invariant(spark, sf_dir, queries):
     base = sorted(map(tuple, out.collect()))
     again = sorted(map(tuple, out.repartition(7).collect()))
     assert base == again
+
+
+def test_g3_components_consistent_with_edges(spark, sf_dir, queries):
+    """Union-find over the v6 edge list must reproduce g3's labeling
+    exactly (component = min vec_id reachable)."""
+    edges = (
+        queries["v6_knn_graph"](spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in edges:
+        union(r["vec_id"], r["neighbor_id"])
+    out = queries["g3_knn_components"](spark, sf_dir).collect()
+    for r in out:
+        assert r["component"] == find(r["vec_id"]), r["vec_id"]

@@ -173,3 +173,40 @@ def test_smp5_partition_invariant(spark, sf_dir, queries):
         )
     )
     assert base == again
+
+
+# ---------------------------------------------------------------------------
+# t15 — DSIR importance weights
+# ---------------------------------------------------------------------------
+def test_t15_counts_and_target_separation(spark, sf_dir, queries):
+    from weather_data_pipeline_sv_spark.catalog.text import (
+        _DSIR_TARGET_SRC,
+        _docs_with_tokens,
+    )
+
+    out = {r["doc_id"]: r for r in queries["t15_dsir_weights"](spark, sf_dir).collect()}
+    docs = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", "source", "n_tokens"
+    ).collect()
+    tgt_w, rest_w = [], []
+    for d in docs:
+        if d["n_tokens"] < 2:
+            assert d["doc_id"] not in out
+            continue
+        r = out[d["doc_id"]]
+        # every bigram of the doc is counted exactly once
+        assert r["n_bigrams"] == d["n_tokens"] - 1, d["doc_id"]
+        (tgt_w if d["source"] == _DSIR_TARGET_SRC else rest_w).append(
+            r["dsir_weight"]
+        )
+    # the LM was FIT on the target subset: its docs must look more
+    # target-like than the background on average
+    assert tgt_w and rest_w
+    assert sum(tgt_w) / len(tgt_w) > sum(rest_w) / len(rest_w)
+
+
+def test_t15_partition_invariant(spark, sf_dir, queries):
+    out = queries["t15_dsir_weights"](spark, sf_dir)
+    base = sorted(map(tuple, out.collect()))
+    again = sorted(map(tuple, out.repartition(9).collect()))
+    assert base == again

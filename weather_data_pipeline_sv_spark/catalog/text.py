@@ -26,7 +26,7 @@ from ..operators import dedup as dd
 from ..sources import load_tables
 from ..functions.caching import loop_cache, stage_cache
 from ..functions.partitioning import ensure_min_parallelism
-from ..functions.rounding import rnd
+from ..functions.rounding import rnd, rnd_sql
 from . import register
 
 
@@ -1243,6 +1243,117 @@ def t14_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("avg_logp") >= F.col("c1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15 — DSIR importance weights (Xie et al. 2023, hashed n-gram variant):
+# per-doc importance = avg over the doc's bigrams of
+# log p_target(bucket) − log p_source(bucket), where both LMs are
+# add-one-smoothed multinomials over a FIXED 1024-bucket md5 hash of the
+# bigram space, target = the in-domain subset (source = 'src0' docs) and
+# source = the whole corpus. Docs that look more like the target domain
+# than the background get weight > 0 — the standard
+# data-selection-for-pretraining signal, resampled by weight downstream.
+#
+# Scale shape — the hashing IS the scale story (why DSIR hashes): both
+# LM tables are exactly B=1024 rows regardless of corpus size, so they
+# and their smoothing totals stay broadcast forever; the corpus-sized
+# work is one bigram explode and one partial-aggregating
+# (doc_id, bucket) count. No vocabulary-sized join grows with the data
+# (t10's lm/ctx tables do — that entry is the unhashed contrast).
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024
+_DSIR_TARGET_SRC = "src0"
+_DUCK_DSIR_BKT = (
+    f"CAST('0x' || substr(md5(bigram), 1, 8) AS BIGINT) % {_DSIR_B}"
+)
+
+
+@register(
+    "t15_dsir_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, {_DUCK_TOKENS} AS tokens FROM documents
+    ), bg AS (
+      SELECT doc_id, source, unnest({_DUCK_BIGRAMS}) AS bigram
+      FROM tk WHERE len(tokens) >= 2
+    ), bgb AS (
+      SELECT doc_id, source, {_DUCK_DSIR_BKT} AS b FROM bg
+    ), spine AS (
+      SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b
+    ), tc AS (
+      SELECT b, count(*) AS ct FROM bgb
+      WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY b
+    ), sc AS (
+      SELECT b, count(*) AS cs FROM bgb GROUP BY b
+    ), lm AS (
+      SELECT spine.b, coalesce(tc.ct, 0) AS ct, coalesce(sc.cs, 0) AS cs
+      FROM spine LEFT JOIN tc ON tc.b = spine.b
+      LEFT JOIN sc ON sc.b = spine.b
+    ), tot AS (
+      SELECT sum(ct) AS nt, sum(cs) AS ns FROM lm
+    ), lmr AS (
+      SELECT b,
+             {rnd_sql(
+                 f'ln((ct + 1.0) / (nt + {_DSIR_B}.0))'
+                 f' - ln((cs + 1.0) / (ns + {_DSIR_B}.0))', 9)} AS delta
+      FROM lm CROSS JOIN tot
+    ), db AS (
+      SELECT doc_id, b, count(*) AS cb FROM bgb GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(cb) AS BIGINT) AS n_bigrams,
+           {rnd_sql('sum(cb * delta) / sum(cb)', 4)} AS dsir_weight
+    FROM db JOIN lmr ON lmr.b = db.b
+    GROUP BY doc_id
+    """,
+)
+def t15_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") >= 2)
+    bg = base.select(
+        "doc_id", "source", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram")
+    )
+    bkt = (
+        F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10)
+        .cast("long") % _DSIR_B
+    ).alias("b")
+    # the bucketed bigram stream heads three consumers (target counts,
+    # source counts, per-doc counts) — pin so the explode runs once
+    bgb = stage_cache(bg.select("doc_id", "source", bkt))
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    tc = (
+        bgb.filter(F.col("source") == _DSIR_TARGET_SRC)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    sc = bgb.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    lm = (
+        spine.join(tc, "b", "left")
+        .join(sc, "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+        )
+    )
+    tot = lm.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    lmr = lm.crossJoin(F.broadcast(tot)).select(
+        "b",
+        rnd(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + float(_DSIR_B)))
+            - F.log((F.col("cs") + 1.0) / (F.col("ns") + float(_DSIR_B))),
+            9,
+        ).alias("delta"),
+    )
+    db = bgb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        db.join(F.broadcast(lmr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cb").cast("long").alias("n_bigrams"),
+            rnd(
+                F.sum(F.col("cb") * F.col("delta")) / F.sum("cb"), 4
+            ).alias("dsir_weight"),
+        )
     )
 
 

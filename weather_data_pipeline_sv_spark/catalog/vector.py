@@ -1237,6 +1237,48 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G3 — connected components over the v6 kNN graph (undirected closure):
+# the cluster structure of the embedding corpus — the vector-side twin of
+# d6's text-pair clustering, and the grouping SemDeDup-style pipelines
+# sample from when near-dup CLUSTERS (not just drop decisions) are
+# needed. Spark side is the same iterative min-label propagation
+# operator d6 uses (operators/graph.py, edge list pinned per round);
+# the oracle walks the identical graph with a RECURSIVE CTE.
+# ---------------------------------------------------------------------------
+@register(
+    "g3_knn_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_BLOCKED_V.strip()},
+    {_DUCK_KNN_EDGES},
+    und AS (
+      SELECT src AS s, dst AS t FROM e
+      UNION SELECT dst, src FROM e
+    ),
+    walk(x, l) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.t, w.l FROM walk w JOIN und e ON e.s = w.x
+    )
+    SELECT x AS vec_id, CAST(min(l) AS BIGINT) AS component
+    FROM walk GROUP BY x
+    """,
+)
+def g3_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    edges = v6_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    nodes = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ).select("vec_id")
+    return connected_components(
+        nodes, edges, vertex_col="vec_id", src_col="src", dst_col="dst"
+    ).select("vec_id", F.col("component").cast("long").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # V11 — ANN quality evaluation as a query: recall@5 of the v3 LSH index
 # against the v1 brute-force ground truth, per query and summarized. The
 # eval every ANN deployment runs before trading exactness for speed — and
