@@ -111,25 +111,31 @@ def main() -> None:
 
     spark = get_spark(app_name="wdp-sv-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Known-benign noise source, silenced for THIS HARNESS only: AQE
-    # cancels in-flight stage-materialization jobs when a query's result
-    # stage wins; their already-launched tasks are invisible to every
-    # tracker surface (job, stage, and executor running-task counts all
-    # read 0 — measured), so no drain can prove them gone before the
+    # Known-benign noise source, silenced for the MEASUREMENT LOOP only:
+    # AQE cancels in-flight stage-materialization jobs when a query's
+    # result stage wins; their already-launched tasks are invisible to
+    # every tracker surface (job, stage, and executor running-task counts
+    # all read 0 — measured), so no drain can prove them gone before the
     # between-query System.gc() unregisters dead accumulators, and each
     # late task-end then logs one ERROR per accumulator (15.7k lines in
     # one full-suite run, all "Failed to update accumulator ...
     # (Unknown class)"). Timings and results are unaffected; real
-    # failures still surface as Python exceptions. Engine sessions
-    # outside the bench keep full DAGScheduler logging.
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
-        )
-    except Exception:
-        pass  # logging backend differs — noise returns, timings unaffected
+    # failures still surface as Python exceptions. The level is RESTORED
+    # after the loop (see below) so a genuine scheduler failure during
+    # teardown — or in any code a future edit adds after the loop — is
+    # not swallowed; engine sessions outside the bench keep full
+    # DAGScheduler logging throughout.
+    def _set_dag_level(level_name: str) -> None:
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.scheduler.DAGScheduler",
+                getattr(jvm.org.apache.logging.log4j.Level, level_name),
+            )
+        except Exception:
+            pass  # logging backend differs — noise returns, timings unaffected
+
+    _set_dag_level("FATAL")
     queries = all_queries()
 
     # warmup: spin up executors / codegen paths outside the measurement
@@ -177,6 +183,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # liveness/progress to STDERR only: stdout must carry nothing but
+        # the final JSON line (the driver tail-captures stdout and parses
+        # the last line — BENCH_r04.json came back "parsed": null when
+        # output interleaved with it)
+        print(f"[bench] {name}: {timings[name]} s", file=sys.stderr, flush=True)
         # release session state between queries so timings are independent:
         # cached frames and (crucially) localCheckpoint blocks from the
         # dedup/persist operators otherwise accumulate in executor storage
@@ -237,27 +248,35 @@ def main() -> None:
         if drained:
             spark.sparkContext._jvm.System.gc()
 
-    print(
-        json.dumps(
-            {
-                # a subset run must not be mistakable for the full-suite
-                # headline artifact
-                "metric": f"headline query wall-clock (noop sink, min of {N_RUNS} runs), local["
-                + os.environ.get("SPARK_GRAFT_CPUS", "32")
-                + "]"
-                + (
-                    f" — SUBSET {len(names)}/{len(BENCH_QUERIES)}"
-                    if only
-                    else ""
-                ),
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # measurement done: put DAGScheduler logging back (session default is
+    # ERROR via setLogLevel above) so teardown-time scheduler failures are
+    # visible — the FATAL window covers exactly the known-noise loop
+    _set_dag_level("ERROR")
+
+    result = json.dumps(
+        {
+            # a subset run must not be mistakable for the full-suite
+            # headline artifact
+            "metric": f"headline query wall-clock (noop sink, min of {N_RUNS} runs), local["
+            + os.environ.get("SPARK_GRAFT_CPUS", "32")
+            + "]"
+            + (
+                f" — SUBSET {len(names)}/{len(BENCH_QUERIES)}"
+                if only
+                else ""
+            ),
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # stop the session BEFORE printing: nothing (JVM teardown lines, late
+    # log events) can land on the stream after the JSON, so a tail capture
+    # of stdout always ends with the one parseable line
     spark.stop()
+    sys.stdout.flush()
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from weather_data_pipeline_sv_spark.functions.caching import (
     cache_mode,
     loop_cache,
+    release_stage_caches,
     stage_cache,
 )
 
@@ -66,6 +67,27 @@ def test_persist_mode_eager_materializes(spark, mode_env):
     assert out.rdd.getNumPartitions() >= 1
     assert out.count() == 50
     out.unpersist()
+
+
+def test_release_stage_caches_unpersists_tracked_frames(spark, mode_env):
+    # the session-level release hook for long-lived sessions: every frame
+    # stage_cache pinned in persist mode is tracked and unpersisted
+    mode_env("persist")
+    release_stage_caches()  # clear anything earlier tests left behind
+    a = stage_cache(spark.range(10), eager=True)
+    b = stage_cache(spark.range(20), eager=True)
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert release_stage_caches() == 2
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    # idempotent: nothing left to release
+    assert release_stage_caches() == 0
+
+
+def test_release_stage_caches_ignores_local_mode(spark, mode_env):
+    mode_env(None)  # local mode: blocks die with their handles, untracked
+    out = stage_cache(spark.range(10), eager=True)
+    assert out.count() == 10
+    assert release_stage_caches() == 0
 
 
 def test_loop_cache_truncates_under_persist_mode(spark, mode_env):

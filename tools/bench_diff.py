@@ -48,12 +48,18 @@ def main() -> int:
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
-    shared = sorted(set(old) & set(new))
+    # a 0-second baseline means the OLD artifact entry is bogus (a bench
+    # can't complete in 0.000 s), not that the new run regressed
+    # infinitely — warn and exclude rather than flag a fake REGRESSION
+    bogus = sorted(n for n in set(old) & set(new) if old[n] <= 0)
+    for n in bogus:
+        print(f"WARNING: {n}: old time {old[n]} s is not a valid baseline "
+              f"— excluded from the shared set", file=sys.stderr)
+    shared = sorted((set(old) & set(new)) - set(bogus))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
 
-    rows = [(n, old[n], new[n], new[n] / old[n] if old[n] else float("inf"))
-            for n in shared]
+    rows = [(n, old[n], new[n], new[n] / old[n]) for n in shared]
     rows.sort(key=lambda r: -r[3])
 
     print(f"{'query':<34} {'old':>8} {'new':>8} {'ratio':>7}")

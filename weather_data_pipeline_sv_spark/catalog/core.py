@@ -1123,8 +1123,14 @@ def a17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # A18 — exact percentiles (continuous interpolation): median and p90 per
-# group. Spark `percentile` and DuckDB `quantile_cont` both interpolate
-# linearly on the sorted set.
+# group, via the bounded-state histogram form (operators/quantiles.py):
+# count-by-value + cumulative sum + Spark-`percentile`-identical
+# interpolation. The builtin `percentile` holds an O(distinct-values) map
+# in ONE aggregation buffer — for a raw measure like l_extendedprice that
+# buffer grows with the data; the histogram's shuffled state is bounded by
+# the value GRID (cents / integer quantities) at any corpus size. Values
+# are identical to the builtin (same formula), so the oracle stays
+# DuckDB's `quantile_cont` — proving the rewrite exact, not approximate.
 # ---------------------------------------------------------------------------
 @register(
     "a18_percentiles",
@@ -1137,11 +1143,27 @@ def a17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import grouped_exact_quantiles
+
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        rnd(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        rnd(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        rnd(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    q = grouped_exact_quantiles(
+        li,
+        ["l_returnflag"],
+        {
+            "median_price": ("l_extendedprice", 0.5),
+            "p90_price": ("l_extendedprice", 0.9),
+            "median_qty": ("l_quantity", 0.5),
+        },
+        # identity on this data (prices are exact cents, quantities
+        # integers) — the snap just pins the histogram key space to the
+        # grid; hashes unchanged vs the builtin-percentile form
+        grid_decimals={"l_extendedprice": 2, "l_quantity": 2},
+    )
+    return q.select(
+        "l_returnflag",
+        rnd(F.col("median_price"), 4).alias("median_price"),
+        rnd(F.col("p90_price"), 4).alias("p90_price"),
+        rnd(F.col("median_qty"), 4).alias("median_qty"),
     )
 
 

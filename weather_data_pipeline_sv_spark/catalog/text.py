@@ -1200,9 +1200,15 @@ def t10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-percentile aggregate — ONE row — kept IN-PLAN via
 # crossJoin(broadcast(...)): no driver collect, no global sort, no
 # single-partition window (an NTILE(3) over all docs would be exactly the
-# global-window scale-killer this avoids). At 100 TB one would swap
-# percentile for percentile_approx with a pinned accuracy; the exact form
-# is kept here because the oracle must replay it bit-for-bit.
+# global-window scale-killer this avoids). The percentile buffer itself
+# stays BOUNDED at any corpus size — that is the load-bearing fact: its
+# state is O(distinct inputs) and the inputs are avg_logp values already
+# rounded at 4 dp over the LM's bounded log-probability range (roughly
+# [ln(1/corpus_bigrams), 0], in practice a few units wide), so distinct
+# count is capped by the 4-dp grid of that range (~10^5), not by rows.
+# A raw-valued column would not get this for free — the histogram form
+# (operators/quantiles.py, a18) is the swap there; percentile_approx
+# would also work at 100 TB but loses oracle hash parity.
 # ---------------------------------------------------------------------------
 @register(
     "t14_perplexity_buckets",

@@ -20,7 +20,9 @@ Three modes, chosen by ``SPARK_GRAFT_CACHE_MODE``:
     executor loss recomputes the lost blocks; the 100 TB default. The plan
     tree is NOT truncated, so iterative drivers (operators/graph.py) that
     checkpoint per round to bound plan growth still force ``local`` or
-    ``reliable`` for their loop state.
+    ``reliable`` for their loop state. Blocks stay pinned for the session:
+    call :func:`release_stage_caches` between units of work in long-lived
+    sessions (the pinned frames are tracked for exactly that).
 ``reliable``
     ``DataFrame.checkpoint`` — blocks written to the fault-tolerant
     checkpoint dir (``SPARK_GRAFT_CHECKPOINT_DIR`` must point at shared
@@ -40,6 +42,31 @@ from pyspark.sql import DataFrame
 
 _MODES = ("local", "persist", "reliable")
 
+#: Frames pinned by :func:`stage_cache` in ``persist`` mode, so long-lived
+#: sessions can release them (``release_stage_caches``) without the
+#: blunt ``spark.catalog.clearCache()``. ``local``/``reliable`` blocks are
+#: not tracked: localCheckpoint blocks die with their RDD handles (the
+#: bench's per-query gc releases them) and reliable checkpoints live on
+#: shared storage by design.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_stage_caches() -> int:
+    """Unpersist every frame :func:`stage_cache` pinned in ``persist``
+    mode this session; returns how many were released. Call between
+    logical units in a long-lived session — without it MEMORY_AND_DISK
+    blocks accumulate until ``spark.catalog.clearCache()`` happens to
+    run (the bench does per query; library users must do one or the
+    other themselves)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    _PERSISTED.clear()
+    return n
+
 
 def cache_mode() -> str:
     mode = os.environ.get("SPARK_GRAFT_CACHE_MODE", "local")
@@ -56,10 +83,20 @@ def stage_cache(df: DataFrame, eager: bool = False) -> DataFrame:
     ``eager=True`` forces computation now (callers that need a stable
     snapshot before mutating inputs, e.g. incremental state pinning);
     the default defers to first use like any lazy plan node.
+
+    RETENTION: in ``persist`` mode blocks stay pinned for the session —
+    nothing here unpersists (the consumers are lazy plan branches, so
+    there is no safe release point inside the entry). Long-lived sessions
+    that call catalog entries repeatedly should call
+    :func:`release_stage_caches` (or ``spark.catalog.clearCache()``)
+    between units of work. ``local`` mode has the same session-lifetime
+    retention via localCheckpoint blocks, released when the Python/JVM
+    DataFrame handles are gc'd (the bench forces that per query).
     """
     mode = cache_mode()
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(out)
         if eager:
             out.count()
         return out

@@ -1,0 +1,102 @@
+"""Exact interpolated quantiles with bounded shuffled state.
+
+Spark's builtin ``percentile`` is exact but holds a value→count map for
+each group inside ONE aggregation buffer: state is O(distinct values) on
+a single task, and for a raw measure column distinct count grows with the
+data until the buffer is a driver-of-OOM at 100 TB. The histogram form
+here computes the SAME interpolated quantile from a count-by-value
+histogram + cumulative sum:
+
+1. ``groupBy(group, value).count()`` — a partial-aggregating shuffle whose
+   key space is (groups × value grid), bounded by VALUE-SPACE, not rows
+   (prices live on a cent grid, quantities on integers);
+2. one window pass per group ordered by value for the cumulative count —
+   a distributed, spillable sort over at most |value grid| rows per group;
+3. the two order statistics around position p·(n−1) picked via
+   conditional aggregation, interpolated with exactly Spark's
+   ``percentile`` formula ``(ceil(h)−h)·v_lo + (h−floor(h))·v_hi`` so the
+   rewrite is bit-identical to the builtin (and to DuckDB
+   ``quantile_cont``, which the builtin already hash-matches).
+
+No driver collect, no global sort, no single-buffer map. The reference
+(src/transformation/aggregation SQL percentiles) computes the same
+continuous quantiles via ``percentile_cont`` on Postgres.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, tuple[str, float]],
+    grid_decimals: dict[str, int] | None = None,
+) -> DataFrame:
+    """Per-group exact continuous quantiles, one output column per entry of
+    ``quantiles`` (``out_name -> (value_col, p)``).
+
+    ``grid_decimals`` optionally snaps a value column to a fixed decimal
+    grid (``rnd``, the engine-stable floor-round) BEFORE counting. On data
+    already on that grid (cent prices, integer quantities) the snap is an
+    identity — results and hashes are unchanged — but it makes the
+    bounded-state guarantee structural: the histogram key space stays
+    |grid| even if upstream float noise creeps in.
+    """
+    value_cols = sorted({col for col, _ in quantiles.values()})
+    per_col = {
+        col: {name: p for name, (c, p) in quantiles.items() if c == col}
+        for col in value_cols
+    }
+    out: DataFrame | None = None
+    for col in value_cols:
+        part = _one_column_quantiles(
+            df, group_cols, col, per_col[col],
+            (grid_decimals or {}).get(col),
+        )
+        out = part if out is None else out.join(part, group_cols)
+    return out
+
+
+def _one_column_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: dict[str, float],
+    grid: int | None,
+) -> DataFrame:
+    v = F.col(value_col).cast("double")
+    if grid is not None:
+        v = rnd(v, grid)
+    hist = df.groupBy(*group_cols, v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "__v",
+        F.sum("__c")
+        .over(wg.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+        F.sum("__c")
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n"),
+    )
+    aggs = []
+    for name, p in ps.items():
+        # h is constant within a group (a function of __n alone), so the
+        # max() aggregates below just carry it out of the groupBy
+        h = F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+        v_lo = F.min(F.when(F.col("__cum") >= F.floor(h) + 1, F.col("__v")))
+        v_hi = F.min(F.when(F.col("__cum") >= F.ceil(h) + 1, F.col("__v")))
+        hc = F.max(h)
+        q = F.when(F.ceil(hc) == F.floor(hc), v_lo).otherwise(
+            (F.ceil(hc).cast("double") - hc) * v_lo
+            + (hc - F.floor(hc).cast("double")) * v_hi
+        )
+        aggs.append(q.alias(name))
+    return cum.groupBy(*group_cols).agg(*aggs)
