@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "t9_repetition_stats",
     "m5_media_near_dup",
     "pipe3_incremental_corpus",
+    # round-5 additions
+    "v16_ivfpq_topk",
 ]
 
 

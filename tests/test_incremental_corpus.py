@@ -185,3 +185,41 @@ def test_incremental_equality_any_split_point(spark, split_at):
         .collect()
     )
     assert got == _batch_survivors(spark, rows)
+
+
+def test_append_replay_is_exactly_once(spark, tmp_path):
+    """Re-running the same batch id (a foreachBatch retry) must leave the
+    store hash-identical to the single-write store — the per-batch atomic
+    directory rename is the commit, covering all three state tables at
+    once (three independent appends could previously land partially)."""
+    rows = _docs()
+    store_root = str(tmp_path / "store_replay")
+    store = CorpusStore(spark, store_root)
+    batches = [
+        [r for r in rows if r[0] < 10],
+        [r for r in rows if 10 <= r[0] < 20],
+        [r for r in rows if r[0] >= 20],
+    ]
+    for bid, b in enumerate(batches):
+        store.process_and_append(
+            spark.createDataFrame(b, DOC_SCHEMA), batch_id=bid
+        )
+    once = {
+        name: sorted(map(tuple, getattr(store, name)().collect()))
+        for name in ("docs", "shingles", "bands")
+    }
+    # replay every batch id: complete no-ops at both API levels
+    for bid, b in enumerate(batches):
+        store.process_and_append(
+            spark.createDataFrame(b, DOC_SCHEMA), batch_id=bid
+        )
+    delta = process_corpus_batch(
+        spark.createDataFrame(batches[0], DOC_SCHEMA), None, None, None
+    )
+    assert store.append(delta, batch_id=0) is False
+    again = {
+        name: sorted(map(tuple, getattr(store, name)().collect()))
+        for name in ("docs", "shingles", "bands")
+    }
+    assert again == once
+    assert store.applied_batch_ids() == [0, 1, 2]

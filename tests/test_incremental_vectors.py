@@ -163,9 +163,15 @@ def test_vector_store_parquet_roundtrip(spark, tmp_path):
         r["list_id"]: r["n_vectors"] for r in vs.list_occupancy().collect()
     }
     assert sum(occ.values()) == len(rows)
-    # layout is write_ivf_index-compatible: partitioned dirs + _centroids
+    # layout: one atomic batch_id= dir per applied batch, list_id dirs
+    # nested inside (probe-prunable), _centroids alongside — still
+    # readable by probe_ivf_index (test_probe_serves_off_live_store)
     vdir = os.path.join(root, "vectors")
-    assert any(e.startswith("list_id=") for e in os.listdir(vdir))
+    bdirs = [e for e in os.listdir(vdir) if e.startswith("batch_id=")]
+    assert len(bdirs) == len(_slices(rows))
+    assert any(
+        e.startswith("list_id=") for e in os.listdir(os.path.join(vdir, bdirs[0]))
+    )
     assert os.path.isdir(os.path.join(vdir, "_centroids"))
 
 
@@ -227,3 +233,81 @@ def test_streaming_wrapper_and_resume(spark, tmp_path):
         (v, k) for v, _, k in _one_shot(spark, rows, vs.centroids())
     }
     assert got == expected
+
+
+def test_append_replay_is_exactly_once(spark, tmp_path):
+    """The documented foreachBatch failure mode: re-running the same batch
+    id (retry after a crash) must leave the store hash-identical to the
+    single-write store — the atomic batch_id= rename is the commit."""
+    rows = _vecs()
+    root = str(tmp_path / "vstore_replay")
+    vs = VectorStore(spark, root)
+    vs.initialize(
+        spark.createDataFrame(_slices(rows)[0], VEC_SCHEMA), n_lists=3
+    )
+    for bid, sl in enumerate(_slices(rows)):
+        vs.process_and_append(
+            spark.createDataFrame(sl, VEC_SCHEMA), batch_id=bid
+        )
+    once = sorted(map(tuple, vs.vectors().collect()))
+    # replay every batch id — process_and_append AND raw append no-op
+    for bid, sl in enumerate(_slices(rows)):
+        assert (
+            vs.process_and_append(
+                spark.createDataFrame(sl, VEC_SCHEMA), batch_id=bid
+            )
+            is None
+        )
+    delta = process_vector_batch(
+        spark.createDataFrame(_slices(rows)[2], VEC_SCHEMA), vs.centroids(), None
+    )
+    assert vs.append(delta, batch_id=2) is False
+    assert sorted(map(tuple, vs.vectors().collect())) == once
+    assert vs.applied_batch_ids() == [0, 1, 2]
+
+
+def test_retrain_equals_one_shot_under_new_quantizer(spark, tmp_path):
+    """VectorStore.retrain: after the quantizer-aging migration the store
+    must be row-identical to the one-shot batch computation over the same
+    vectors with the new quantizer (trained on the pre-retrain
+    survivors), and probes must serve off the swapped layout."""
+    rows = _vecs()
+    root = str(tmp_path / "vstore_retrain")
+    vs = VectorStore(spark, root)
+    vs.initialize(
+        spark.createDataFrame(_slices(rows)[0], VEC_SCHEMA), n_lists=3
+    )
+    for sl in _slices(rows):
+        vs.process_and_append(spark.createDataFrame(sl, VEC_SCHEMA))
+    # the one-shot twin: same training set (pre-retrain survivors), same
+    # Lloyd, assign + greedy over ALL stored vectors
+    survivors = vs.survivors().select("vec_id", "emb")
+    new_cents = sim.ivf_centroids(survivors, n_lists=4, n_iter=2)
+    expected = _one_shot(spark, rows, new_cents)
+    got = vs.retrain(new_n_lists=4)
+    assert {
+        (r["vec_id"], r["list_id"], r["kept"]) for r in got.collect()
+    } == expected
+    # state readers agree post-swap
+    assert {
+        (r["vec_id"], r["list_id"], r["kept"])
+        for r in vs.vectors().collect()
+    } == expected
+    assert vs.centroids().count() == 4
+    # history compacted to a single batch; appends restart after it
+    assert vs.applied_batch_ids() == [0]
+    # probe serves off the retrained layout
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.02, 0.0, 0.0])], "query_id long, qemb array<double>"
+    )
+    out = sim.probe_ivf_index(
+        spark, os.path.join(root, "vectors"), queries, k=3, n_probe=2
+    ).collect()
+    assert len(out) == 3
+    # a post-retrain append keeps working and lands as batch 1
+    extra = spark.createDataFrame(
+        [(30, [0.0, 1.0, 0.0, 0.02])], VEC_SCHEMA
+    )
+    vs.process_and_append(extra)
+    assert vs.applied_batch_ids() == [0, 1]
+    assert 30 in {r["vec_id"] for r in vs.vectors().collect()}

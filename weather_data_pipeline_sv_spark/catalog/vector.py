@@ -1480,9 +1480,11 @@ _PQ_SUB = 8
 _PQ_SUBDIM = _DIM // _PQ_SUB
 _PQ_K = 16
 
-def _duck_pq_assign(name: str, s: int, cent: str, with_d: bool = False) -> str:
+def _duck_pq_assign(
+    name: str, s: int, cent: str, with_d: bool = False, table: str | None = None
+) -> str:
     return _duck_assign(
-        name, cent, table=f"sv{s}", dim=_PQ_SUBDIM, with_d=with_d
+        name, cent, table=table or f"sv{s}", dim=_PQ_SUBDIM, with_d=with_d
     )
 
 
@@ -1490,12 +1492,20 @@ def _duck_pq_recompute(name: str, assigned: str, prev: str) -> str:
     return _duck_recompute(name, assigned, prev, dims="subdims")
 
 
-def _duck_pq_prefix() -> str:
+def _duck_pq_prefix(
+    train_src: str = "v", extra: list[str] | None = None
+) -> str:
     """Shared WITH-body: per-subspace slice views + the 2-step Lloyd chain
-    ending in codebook s{s}c2 and final assignment s{s}e (code + distance)."""
+    ending in codebook s{s}c2 and final assignment s{s}e (code + distance).
+    ``train_src`` optionally points the TRAINING chain (seeds + both Lloyd
+    steps) at a sampled view of v (v16's corpus-count-derived stride,
+    defined via ``extra`` CTEs) while the final assignment s{s}e always
+    covers the full corpus; the default trains on all of v — v13/v14's
+    chains are byte-identical to the pre-parameter form."""
     parts = [
         f"v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
         f"subdims AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS d)",
+        *(extra or []),
     ]
     for s in range(_PQ_SUB):
         off = s * _PQ_SUBDIM
@@ -1503,15 +1513,27 @@ def _duck_pq_prefix() -> str:
             f"sv{s} AS (SELECT vec_id, emb[{off + 1}:{off + _PQ_SUBDIM}]"
             " AS emb FROM v)"
         )
+        if train_src == "v":
+            tt = f"sv{s}"
+        else:
+            tt = f"svt{s}"
+            parts.append(
+                f"svt{s} AS (SELECT vec_id, emb[{off + 1}:{off + _PQ_SUBDIM}]"
+                f" AS emb FROM {train_src})"
+            )
         parts.append(f"""s{s}c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS list_id,
              emb AS centroid
-      FROM sv{s} ORDER BY vec_id LIMIT {_PQ_K}
+      FROM {tt} ORDER BY vec_id LIMIT {_PQ_K}
     )""")
-        parts.append(_duck_pq_assign(f"s{s}a0", s, f"s{s}c0").strip())
+        parts.append(
+            _duck_pq_assign(f"s{s}a0", s, f"s{s}c0", table=tt).strip()
+        )
         parts.append(_duck_pq_recompute(f"s{s}c1", f"s{s}a0", f"s{s}c0").strip())
-        parts.append(_duck_pq_assign(f"s{s}a1", s, f"s{s}c1").strip())
+        parts.append(
+            _duck_pq_assign(f"s{s}a1", s, f"s{s}c1", table=tt).strip()
+        )
         parts.append(_duck_pq_recompute(f"s{s}c2", f"s{s}a1", f"s{s}c1").strip())
         parts.append(
             _duck_pq_assign(f"s{s}e", s, f"s{s}c2", with_d=True).strip()
@@ -1611,4 +1633,106 @@ def v14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = sim.pq_train(emb, _PQ_SUB, _PQ_K, _PQ_SUBDIM, n_iter=2)
     enc = sim.pq_encode(emb, books, _PQ_SUBDIM)
     out = sim.pq_adc_topk(enc, q, books, _PQ_SUBDIM, _TOP_K)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# V16 — IVFADC (IVF + PQ composed, operators/similarity.py ivfpq_topk):
+# the production ANN serving shape (FAISS IVFPQ). A coarse quantizer
+# routes codes into inverted lists; the PQ codebooks compress vectors
+# 64×; a query probes its _N_PROBE nearest lists and ranks by asymmetric
+# distance over CODES within the probed lists only — per query batch the
+# scan reads n_probe/n_lists of the compressed table where v14 reads all
+# of it.
+#
+# Two deliberate differences from the v13/v14 chain, both the production
+# norm and both oracle-replayed:
+# 1. SAMPLED TRAINING: coarse + all 8 subspace codebooks train on a
+#    corpus-count-derived stride (m = max(1, n // _V16_TRAIN), mirrored
+#    in the prm CTE per the oracle-mirrored-sizing rule) — at 100 TB
+#    nobody Lloyd-trains on the full corpus; quantizer quality needs
+#    representative data, not all of it. v13/v14 keep the full-corpus
+#    train as the oracle-strict exact form. The full corpus is still
+#    touched exactly once: assign + encode fuse into one plan-literal
+#    projection over one scan.
+# 2. JOINT TRAINING: the coarse book is a 9th full-width _joint_lloyd
+#    spec riding the same (sampled) scans as the subspaces —
+#    bit-identical to training it alone, pinned in tests/test_ivfpq.py.
+#
+# n_lists is the small-k oracle constant here (matching v4); production
+# sizes it sqrt-N via suggest_ivf_params, and ivf_assign's literal→
+# broadcast crossover (IVF_LITERAL_MAX_LISTS) keeps the plan bounded
+# there. Everything hash-checked: sampled chains, codes, routing, probe
+# set, and the pruned ADC ranking.
+# ---------------------------------------------------------------------------
+_V16_TRAIN = 2048
+
+_V16_DT_JOINS = "\n      ".join(
+    f"JOIN s{s}e e{s} ON e{s}.vec_id = x.vec_id\n      "
+    f"JOIN dt{s} ON dt{s}.query_id = p.query_id AND dt{s}.code = e{s}.list_id"
+    for s in range(_PQ_SUB)
+)
+
+_V16_EXTRA = [
+    f"""prm AS (
+      SELECT greatest(1, CAST(count(*) AS BIGINT) // {_V16_TRAIN}) AS m
+      FROM v
+    )""",
+    "vt AS (SELECT v.* FROM v CROSS JOIN prm WHERE v.vec_id % prm.m = 0)",
+]
+
+
+@register(
+    "v16_ivfpq_topk",
+    oracle=f"""
+    WITH {_duck_pq_prefix(train_src="vt", extra=_V16_EXTRA)},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+             emb AS centroid
+      FROM vt ORDER BY vec_id LIMIT {_N_LISTS}
+    ),
+    {_duck_assign('a0', 'c0', table='vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', table='vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT v.vec_id AS query_id, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {rnd_sql(_D2.format(dim=_DIM, a='v.emb', b='c.centroid'), 9)} ASC,
+                          c.list_id ASC) AS rn
+        FROM v CROSS JOIN c2 c WHERE v.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_N_PROBE}
+    ),
+    {_duck_pq_dts()},
+    pairs AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_SUM} AS adc
+      FROM probes p
+      JOIN assigned x ON x.list_id = p.list_id AND x.vec_id <> p.query_id
+      {_V16_DT_JOINS}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC) AS INTEGER)
+               AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, {rnd_sql('adc', 4)} AS adc_dist, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def v16_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _corpus_and_queries(spark, sf_dir)
+    m = max(1, _dense_count(emb) // _V16_TRAIN)
+    train = emb.filter(F.col("vec_id") % m == 0)
+    out = sim.ivfpq_topk(
+        emb, q, k=_TOP_K,
+        n_lists=_N_LISTS, n_probe=_N_PROBE,
+        n_sub=_PQ_SUB, k_codes=_PQ_K, sub_dim=_PQ_SUBDIM, n_iter=2,
+        train=train,
+    )
     return out.withColumn("rank", F.col("rank").cast("int"))

@@ -216,19 +216,42 @@ def process_corpus_batch(
 
 
 class CorpusStore:
-    """Parquet-backed incremental-dedup state under ``root/``:
-    ``docs/`` ``shingles/`` ``bands/`` (schemas above). Text is never
-    stored — only the hashes, shingles, and band keys dedup needs."""
+    """Parquet-backed incremental-dedup state under ``root/batches/``:
+    one directory per applied batch, each holding ``docs/`` ``shingles/``
+    ``bands/`` (schemas above); a table read is one multi-path parquet
+    scan over the per-batch subdirectories. Text is never stored — only
+    the hashes, shingles, and band keys dedup needs.
+
+    The per-batch directory is the EXACTLY-ONCE unit: a delta's three
+    tables are written to one staging directory and published together
+    with ONE atomic rename to ``batches/<id>``, so a foreachBatch retry
+    either sees the complete batch (no-op) or none of it (clean
+    re-append) — never a partial one (the failure mode three independent
+    parquet appends had)."""
+
+    _TABLES = ("docs", "shingles", "bands")
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._batches_dir = os.path.join(root, "batches")
+
+    def applied_batch_ids(self) -> list[int]:
+        if not os.path.isdir(self._batches_dir):
+            return []
+        return sorted(
+            int(e) for e in os.listdir(self._batches_dir) if not e.startswith(("_", "."))
+        )
 
     def _read(self, name: str, schema: str) -> DataFrame:
-        path = os.path.join(self.root, name)
-        if os.path.isdir(path):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        paths = [
+            os.path.join(self._batches_dir, str(b), name)
+            for b in self.applied_batch_ids()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def docs(self) -> DataFrame:
         return self._read("docs", DOCS_SCHEMA)
@@ -240,24 +263,50 @@ class CorpusStore:
         return self._read("bands", BANDS_SCHEMA)
 
     def is_empty(self) -> bool:
-        return not os.path.isdir(os.path.join(self.root, "docs"))
+        return not self.applied_batch_ids()
 
     def survivors(self) -> DataFrame:
         return self.docs().filter(F.col("survivor"))
 
-    def append(self, delta: dict[str, DataFrame]) -> None:
-        """Persist a batch delta. The delta plans lazily READ this store's
-        parquet, so each is pinned (eager, LINEAGE-TRUNCATING — loop_cache,
-        never plain persist: a recompute after the append would re-read the
-        mutated directories and produce different rows) before any append
-        mutates the directories they read."""
+    def append(
+        self, delta: dict[str, DataFrame], batch_id: int | None = None
+    ) -> bool:
+        """Persist a batch delta exactly once. The delta plans lazily READ
+        this store's parquet, so each is pinned (eager, LINEAGE-TRUNCATING
+        — loop_cache, never plain persist: a recompute after the publish
+        would re-read the mutated store and produce different rows), all
+        three tables land in one staging directory (idempotent overwrite),
+        and a single atomic rename publishes them as ``batches/<id>``.
+        Returns False — having written nothing — when that batch id is
+        already published (the retry no-op)."""
+        bid = (
+            batch_id
+            if batch_id is not None
+            else (self.applied_batch_ids() or [-1])[-1] + 1
+        )
+        final = os.path.join(self._batches_dir, str(bid))
+        if os.path.isdir(final):
+            return False
         pinned = {
             name: loop_cache(df, eager=True) for name, df in delta.items()
         }
-        for name, df in pinned.items():
-            df.write.mode("append").parquet(os.path.join(self.root, name))
+        staging = os.path.join(self.root, f"_staging_batch_{bid}")
+        for name in self._TABLES:
+            pinned[name].write.mode("overwrite").parquet(
+                os.path.join(staging, name)
+            )
+        from ..sources.writers import atomic_rename_dir
 
-    def process_and_append(self, batch: DataFrame) -> None:
+        return atomic_rename_dir(self.spark, staging, final)
+
+    def process_and_append(
+        self, batch: DataFrame, batch_id: int | None = None
+    ) -> None:
+        """Dedup one arriving batch against the store and publish the
+        delta. A replay of an already-applied ``batch_id`` is a complete
+        no-op (nothing recomputed, nothing written)."""
+        if batch_id is not None and batch_id in set(self.applied_batch_ids()):
+            return
         empty = self.is_empty()
         delta = process_corpus_batch(
             batch,
@@ -265,7 +314,7 @@ class CorpusStore:
             None if empty else self.shingles(),
             None if empty else self.bands(),
         )
-        self.append(delta)
+        self.append(delta, batch_id=batch_id)
 
 
 def incremental_corpus_stream(
@@ -279,18 +328,21 @@ def incremental_corpus_stream(
     """Structured-Streaming front end: new document files land in
     ``input_dir``; each micro-batch is deduped against the store and the
     state delta appended. ``availableNow`` + checkpoint makes reruns
-    resume where they left off. Exactly-once caveat: a foreachBatch retry
-    after a partial append could double-write a delta; production would
-    MERGE on doc_id (or write batch-id-named files) — the store layout
-    supports either.
+    resume where they left off. EXACTLY-ONCE: the micro-batch id (stable
+    across retries by Structured Streaming's contract) names the batch
+    directory and the atomic-rename publish in ``CorpusStore.append``
+    makes a retry after any partial failure a no-op — replay-pinned in
+    tests/test_incremental_corpus.py.
     """
     reader = spark.readStream.schema(doc_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
-        CorpusStore(batch.sparkSession, store_root).process_and_append(batch)
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        CorpusStore(batch.sparkSession, store_root).process_and_append(
+            batch, batch_id=batch_id
+        )
 
     return (
         stream.writeStream.outputMode("update")

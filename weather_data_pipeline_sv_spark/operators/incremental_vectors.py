@@ -11,12 +11,16 @@ re-scoring the full corpus. This module provides that path:
   then apply the SemDeDup greedy rule inside each list: a batch vector is
   dropped iff a lower-id list-mate (already-stored OR earlier in the
   batch) sits at cosine >= tau. Emits the state delta to persist.
-- ``VectorStore`` — parquet state in the ``write_ivf_index`` layout
-  (vectors partitioned by ``list_id`` + a ``_centroids`` side table), so
-  ``similarity.probe_ivf_index`` can serve ANN queries off the SAME
+- ``VectorStore`` — parquet state partitioned by (``batch_id``,
+  ``list_id``) + a ``_centroids`` side table; ``batch_id`` is the
+  exactly-once commit unit (staging write + atomic rename, replayable),
+  ``list_id`` the probe-pruning key, and the layout stays readable by
+  ``similarity.probe_ivf_index`` so ANN queries serve off the SAME
   directory the dedup maintains. DROPPED vectors are stored too (marked
   ``kept=false``): the greedy rule is one-shot pairwise, so a dropped
-  vector can still eliminate a later near-twin of itself.
+  vector can still eliminate a later near-twin of itself. When the fixed
+  quantizer ages out (``list_occupancy`` drift), ``retrain`` rebuilds
+  the whole state under a new quantizer and swaps it in atomically.
 
 Equivalence guarantee (the pipe3 invariant, proven by catalog pipe4's
 oracle and ``tests/test_incremental_vectors.py``): if vectors arrive in
@@ -33,9 +37,10 @@ lists the batch touches; with the store partitioned by ``list_id`` on
 disk, partition pruning skips every untouched list. Per-batch cost is
 O(|touched lists|), not O(store). Centroids are FIXED between re-trains
 (standard IVF practice); as lists grow past the SemDeDup block target the
-operator reports list occupancy (``list_occupancy``) so the pipeline can
-schedule a re-train + one-shot re-dedup (catalog v10) instead of letting
-the per-list pair work creep quadratic.
+operator reports list occupancy (``list_occupancy``) and
+``VectorStore.retrain`` performs the migration — re-train on survivors +
+one-shot re-dedup (catalog v10's batch job) + atomic state swap — instead
+of letting the per-list pair work creep quadratic.
 """
 
 from __future__ import annotations
@@ -123,9 +128,15 @@ def process_vector_batch(
 
 class VectorStore:
     """Parquet-backed incremental semantic-dedup state under ``root/``:
-    ``vectors/`` (partitioned by ``list_id``, ``VECTORS_SCHEMA``) and
-    ``_centroids/`` — the same layout ``similarity.write_ivf_index``
-    produces, so ANN probes (``probe_ivf_index``) read the live store."""
+    ``vectors/batch_id=N/list_id=M/`` (``VECTORS_SCHEMA``) plus
+    ``vectors/_centroids/``. The extra ``batch_id=`` level over
+    ``similarity.write_ivf_index``'s layout is the EXACTLY-ONCE
+    mechanism: each append writes to a staging directory and publishes it
+    with ONE atomic rename to ``batch_id=<id>`` — a foreachBatch retry
+    after a crash either sees the directory (fully published → no-op) or
+    doesn't (nothing published → clean re-append). Both partition levels
+    are plain Hive partitions, so ``probe_ivf_index`` still reads the
+    live store and ``list_id`` probes still partition-prune."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -141,8 +152,9 @@ class VectorStore:
         return self.spark.read.parquet(self._cent_dir)
 
     def vectors(self) -> DataFrame:
-        # schema pinned: an empty store reads as an empty frame; list_id
-        # comes back as the partition column and is cast to the schema
+        # schema pinned: an empty store reads as an empty frame; batch_id/
+        # list_id come back as partition columns — batch_id is dropped
+        # (commit metadata, not data), list_id cast to the schema
         if not self._has_vectors():
             return self.spark.createDataFrame([], VECTORS_SCHEMA)
         return (
@@ -156,9 +168,19 @@ class VectorStore:
 
     def list_occupancy(self) -> DataFrame:
         """(list_id, n_vectors) — the re-train signal: lists far above the
-        SemDeDup block target mean the fixed quantizer has aged out."""
+        SemDeDup block target mean the fixed quantizer has aged out;
+        :meth:`retrain` is the migration that acts on it."""
         return self.vectors().groupBy("list_id").agg(
             F.count(F.lit(1)).alias("n_vectors")
+        )
+
+    def applied_batch_ids(self) -> list[int]:
+        if not os.path.isdir(self._vec_dir):
+            return []
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self._vec_dir)
+            if e.startswith("batch_id=")
         )
 
     # -- lifecycle --------------------------------------------------------
@@ -170,31 +192,109 @@ class VectorStore:
         cents = ivf_centroids(train, n_lists=n_lists, n_iter=n_iter)
         cents.coalesce(1).write.mode("overwrite").parquet(self._cent_dir)
 
-    def append(self, delta: DataFrame) -> None:
-        """Persist a batch delta. Pinned lineage-truncating first (the
-        delta plan lazily reads this store's parquet — a recompute after
-        the append would see the mutated directory; same invariant as
-        ``incremental.CorpusStore.append``)."""
-        pinned = loop_cache(delta, eager=True)
-        pinned.write.mode("append").partitionBy("list_id").parquet(
-            self._vec_dir
+    def append(self, delta: DataFrame, batch_id: int | None = None) -> bool:
+        """Persist a batch delta exactly once. The delta is pinned
+        lineage-truncating first (its plan lazily reads this store's
+        parquet — a recompute after the publish would see the mutated
+        directory), written to a staging dir (idempotent overwrite), then
+        published with one atomic rename to ``batch_id=<id>``. Returns
+        False — having written nothing — when that batch id is already
+        published (the retry no-op). ``batch_id`` defaults to
+        max(applied) + 1 for non-streaming callers; streaming passes the
+        micro-batch id, which Structured Streaming guarantees reuses the
+        SAME id on retry — that reuse is what makes the rename the
+        exactly-once commit point."""
+        bid = (
+            batch_id
+            if batch_id is not None
+            else (self.applied_batch_ids() or [-1])[-1] + 1
         )
+        final = os.path.join(self._vec_dir, f"batch_id={bid}")
+        if os.path.isdir(final):
+            return False
+        pinned = loop_cache(delta, eager=True)
+        staging = os.path.join(self.root, f"_staging_batch_{bid}")
+        pinned.write.mode("overwrite").partitionBy("list_id").parquet(
+            staging
+        )
+        from ..sources.writers import atomic_rename_dir
 
-    def process_and_append(self, batch: DataFrame, **kwargs) -> DataFrame:
+        return atomic_rename_dir(self.spark, staging, final)
+
+    def process_and_append(
+        self, batch: DataFrame, batch_id: int | None = None, **kwargs
+    ) -> DataFrame | None:
         """Dedup one arriving batch against the store; returns the delta
-        that was appended (callers read ``kept`` off it). ``kwargs`` pass
-        through to :func:`process_vector_batch` — in particular
+        that was appended (callers read ``kept`` off it), or None when
+        ``batch_id`` was already applied (replay no-op — the store is
+        untouched and unread). ``kwargs`` pass through to
+        :func:`process_vector_batch` — in particular
         ``broadcast_batch=False`` when batches grow with the corpus (a
         growing driver-side broadcast is the j9 bug class; pipe4 sets it)
         and ``tau`` for a non-default dedup threshold."""
+        if batch_id is not None and batch_id in set(self.applied_batch_ids()):
+            return None
         store = None if not self._has_vectors() else self.vectors()
         delta = process_vector_batch(batch, self.centroids(), store, **kwargs)
-        self.append(delta)
+        self.append(delta, batch_id=batch_id)
         return delta
+
+    def retrain(
+        self,
+        new_n_lists: int,
+        n_iter: int = 2,
+        tau: float = TAU,
+    ) -> DataFrame:
+        """Quantizer-aging migration: re-train the coarse quantizer on the
+        store's SURVIVORS, re-assign every stored vector (kept AND
+        dropped — dropped vectors keep eliminating later twins), re-run
+        the one-shot SemDeDup greedy rule inside the new lists, and swap
+        the rebuilt state in atomically (the ``compact_table`` staging →
+        rename pattern). Afterwards the store is ROW-IDENTICAL to the
+        one-shot batch computation over the same vectors with the new
+        quantizer (pinned by hash in tests/test_incremental_vectors.py),
+        ``probe_ivf_index`` serves off the new layout, and the history is
+        compacted into a single ``batch_id=0`` so subsequent appends
+        restart the exactly-once sequence.
+
+        Scale shape: one Lloyd train over survivors + one assign/greedy
+        pass over the store — exactly the catalog-v10 batch job, paid
+        only when ``list_occupancy`` drift triggers it. The rebuilt state
+        is written partitioned by the new ``list_id`` before the swap, so
+        a crash anywhere before the final rename leaves the old store
+        fully intact."""
+        vecs = self.vectors().select("vec_id", "emb")
+        cents = ivf_centroids(
+            self.survivors().select("vec_id", "emb"),
+            n_lists=new_n_lists, n_iter=n_iter,
+        )
+        cent_rows = [
+            (int(r["list_id"]), [float(x) for x in r["centroid"]])
+            for r in cents.collect()
+        ]
+        # one-shot re-dedup: no store side, ids resolve ordering — and the
+        # rebuilt rows read the CURRENT directory lazily, so the staging
+        # write below materializes them before anything is replaced
+        rebuilt = process_vector_batch(
+            vecs, cent_rows, None, tau=tau, broadcast_batch=False
+        )
+        staging = os.path.join(self.root, "_retraining")
+        rebuilt.withColumn("batch_id", F.lit(0)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id", "list_id").parquet(staging)
+        self.spark.createDataFrame(
+            cent_rows, "list_id long, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "_centroids")
+        )
+        from ..sources.writers import replace_dir
+
+        replace_dir(self.spark, staging, self._vec_dir)
+        return self.vectors()
 
     def _has_vectors(self) -> bool:
         return os.path.isdir(self._vec_dir) and any(
-            e.startswith("list_id=") for e in os.listdir(self._vec_dir)
+            e.startswith("batch_id=") for e in os.listdir(self._vec_dir)
         )
 
 
@@ -210,18 +310,20 @@ def incremental_vector_stream(
     """Structured-Streaming front end: new embedding files land in
     ``input_dir``; each micro-batch is deduped against the store and the
     delta appended. The store must be ``initialize``-d first (the coarse
-    quantizer is trained out-of-band, never inside a micro-batch). Same
-    exactly-once caveat as ``incremental_corpus_stream``: a foreachBatch
-    retry after a partial append could double-write a delta; production
-    would MERGE on vec_id or write batch-id-named files."""
+    quantizer is trained out-of-band, never inside a micro-batch).
+    EXACTLY-ONCE: the micro-batch id (stable across retries by Structured
+    Streaming's contract) names the delta's ``batch_id=`` directory, and
+    the atomic-rename publish in :meth:`VectorStore.append` makes a retry
+    after any partial failure a no-op — replay-pinned in
+    tests/test_incremental_vectors.py."""
     reader = spark.readStream.schema(vec_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
+    def _process(batch: DataFrame, batch_id: int) -> None:
         VectorStore(batch.sparkSession, store_root).process_and_append(
-            batch, **process_kwargs
+            batch, batch_id=batch_id, **process_kwargs
         )
 
     return (

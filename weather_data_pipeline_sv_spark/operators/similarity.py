@@ -836,61 +836,54 @@ def probe_ivf_index(
 # linear passes, encode is one map-side pass of M·K subvector distances.
 # ---------------------------------------------------------------------------
 
-def pq_train(
-    corpus: DataFrame, n_sub: int, k_codes: int, sub_dim: int,
-    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+def _joint_lloyd(
+    corpus: DataFrame,
+    specs: list[tuple[int, int, int]],
+    n_iter: int, id_col: str, vec_col: str,
 ) -> list[list[tuple[int, list[float]]]]:
-    """Train ``n_sub`` independent codebooks of ``k_codes`` codewords each
-    over contiguous ``sub_dim``-wide slices. Deterministic: per subspace,
-    seeds are the subvectors of the ``k_codes`` lowest ids, then
-    ``n_iter`` Lloyd steps (empty codes keep their old codeword) — exactly
-    :func:`ivf_centroids` on the slice, so an external oracle replays it
-    with the same CTE chain per subspace. Returns driver-side codebooks
-    (M × K × sub_dim doubles — tiny).
+    """Train one deterministic Lloyd codebook PER SPEC — ``specs`` entries
+    are ``(offset, width, k)`` slices of the vector — with every spec
+    sharing the same jobs: ONE seed collect (the max-k lowest-id FULL
+    vectors, sliced driver-side) and ONE corpus-scan job per Lloyd step
+    computing every spec's assignment (the same ``array_min``/9-dp/
+    lower-id expression as :func:`ivf_assign`'s literal path) and
+    per-(spec, code, dim) means in a single explode + partial-aggregating
+    groupBy. Same arithmetic on the same groups as training each spec
+    alone, so results are bit-identical to the per-spec loops an external
+    oracle replays. Empty codes keep their previous codeword.
 
-    All ``n_sub`` codebooks train TOGETHER: the seed collect is one job
-    (the k lowest FULL vectors, sliced driver-side — per-subspace seeds
-    are subvectors of the same rows), and each Lloyd step is one job
-    computing every subspace's assignment (the same
-    ``array_min``/9-dp/lower-id expression as :func:`ivf_assign`'s
-    literal path) and per-(subspace, code, dim) means in a single
-    explode + partial-aggregating groupBy. Same arithmetic on the same
-    groups as training each subspace alone — measured 24 → 3 corpus
-    scans (v13 9.97 → faster at sf0.1, where per-job overhead dominated
-    the old per-subspace loop)."""
+    This is how the PQ subspaces train together (24 → 3 corpus scans,
+    round 4) AND how :func:`ivfpq_train` gets its coarse quantizer nearly
+    free: the full-width coarse spec rides the same scans as the M
+    subspace specs instead of paying its own Lloyd passes."""
     corpus = corpus.persist()
     try:
+        max_k = max(k for _, _, k in specs)
         seed_rows = (
             corpus.select(id_col, vec_col)
             .orderBy(id_col)
-            .limit(k_codes)
+            .limit(max_k)
             .collect()
         )
         books = [
             [
-                (
-                    i,
-                    [float(x) for x in r[vec_col]][
-                        s * sub_dim : (s + 1) * sub_dim
-                    ],
-                )
-                for i, r in enumerate(seed_rows)
+                (i, [float(x) for x in r[vec_col]][off : off + width])
+                for i, r in enumerate(seed_rows[:k])
             ]
-            for s in range(n_sub)
+            for off, width, k in specs
         ]
         for _ in range(n_iter):
-            per_sub = [
+            per_spec = [
                 F.struct(
                     F.lit(s).alias("s"),
-                    _pq_best(vec_col, s, sub_dim, books[s])["list_id"]
+                    _slice_best(vec_col, off, width, books[s])["list_id"]
                     .alias("list_id"),
-                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-                    .alias("sub"),
+                    F.slice(F.col(vec_col), off + 1, width).alias("sub"),
                 )
-                for s in range(n_sub)
+                for s, (off, width, _k) in enumerate(specs)
             ]
             mrows = (
-                corpus.select(F.explode(F.array(*per_sub)).alias("x"))
+                corpus.select(F.explode(F.array(*per_spec)).alias("x"))
                 .select(
                     F.col("x.s").alias("s"),
                     F.col("x.list_id").alias("list_id"),
@@ -909,42 +902,90 @@ def pq_train(
                 [
                     (
                         lid,
-                        [means[(s, lid)][d] for d in range(sub_dim)]
+                        [means[(s, lid)][d] for d in range(len(old))]
                         if (s, lid) in means
                         else old,
                     )
-                    for lid, old in books[s]
+                    for lid, old in book
                 ]
-                for s in range(n_sub)
+                for s, book in enumerate(books)
             ]
     finally:
         corpus.unpersist()
     return books
 
 
+def pq_train(
+    corpus: DataFrame, n_sub: int, k_codes: int, sub_dim: int,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train ``n_sub`` independent codebooks of ``k_codes`` codewords each
+    over contiguous ``sub_dim``-wide slices. Deterministic: per subspace,
+    seeds are the subvectors of the ``k_codes`` lowest ids, then
+    ``n_iter`` Lloyd steps (empty codes keep their old codeword) — exactly
+    :func:`ivf_centroids` on the slice, so an external oracle replays it
+    with the same CTE chain per subspace. Returns driver-side codebooks
+    (M × K × sub_dim doubles — tiny). All ``n_sub`` codebooks train
+    together in :func:`_joint_lloyd`'s shared jobs — measured 24 → 3
+    corpus scans vs the per-subspace loop."""
+    specs = [(s * sub_dim, sub_dim, k_codes) for s in range(n_sub)]
+    return _joint_lloyd(corpus, specs, n_iter, id_col, vec_col)
+
+
+def ivfpq_train(
+    corpus: DataFrame, n_lists: int, n_sub: int, k_codes: int, sub_dim: int,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Coarse IVF quantizer + all PQ codebooks from ONE joint Lloyd run.
+
+    The coarse quantizer is just one more :func:`_joint_lloyd` spec — the
+    full-width slice with ``n_lists`` codes — so it trains in the SAME
+    seed collect and per-step jobs as the M subspaces: the marginal cost
+    of IVF over plain PQ is extra per-row arithmetic inside jobs that
+    already scan the corpus, not extra scans. Bit-identical to training
+    the coarse book alone (:func:`_ivf_train` — pinned in tests/test_pq).
+    Returns ``(coarse_rows, pq_books)``."""
+    dim = n_sub * sub_dim
+    specs = [(s * sub_dim, sub_dim, k_codes) for s in range(n_sub)]
+    specs.append((0, dim, n_lists))
+    books = _joint_lloyd(corpus, specs, n_iter, id_col, vec_col)
+    return books[-1], books[:-1]
+
+
+def _slice_best(vec_col: str, off: int, width: int, book) -> Column:
+    """struct<d, list_id> of the nearest codeword for the ``[off, off+width)``
+    slice — :func:`ivf_assign`'s argmin expression on a subvector."""
+    sub = F.slice(F.col(vec_col), off + 1, width)
+    return F.array_min(_dist_structs(sub, book))
+
+
 def _pq_best(vec_col: str, s: int, sub_dim: int, book) -> Column:
     """struct<d, list_id> of the nearest codeword for subspace ``s``."""
-    sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-    return F.array_min(_dist_structs(sub, book))
+    return _slice_best(vec_col, s * sub_dim, sub_dim, book)
 
 
 def pq_encode(
     corpus: DataFrame, books, sub_dim: int,
     id_col: str = "vec_id", vec_col: str = "emb",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Encode: (id, vec, code_0..code_{M-1}, recon_err) where ``code_s``
-    is the nearest codeword id in subspace ``s`` and ``recon_err`` the sum
-    of per-subspace squared distances (the PQ distortion). One narrow
-    map-side pass — the codebooks are plan literals (K ≤ 64 per
-    subspace), so no join and no shuffle at any corpus size."""
+    """Encode: (id, [keep_cols], code_0..code_{M-1}, recon_err) where
+    ``code_s`` is the nearest codeword id in subspace ``s`` and
+    ``recon_err`` the sum of per-subspace squared distances (the PQ
+    distortion). One narrow map-side pass — the codebooks are plan
+    literals (K ≤ 64 per subspace), so no join and no shuffle at any
+    corpus size. ``keep_cols`` defaults to carrying the raw vector
+    through (the v13 contract); IVFPQ passes ``["list_id"]`` instead so
+    the written index holds CODES only, never raw vectors."""
     code_cols = []
     err = F.lit(0.0)
     for s, book in enumerate(books):
         best = _pq_best(vec_col, s, sub_dim, book)
         code_cols.append(best["list_id"].alias(f"code_{s}"))
         err = err + best["d"]
+    keep = [vec_col] if keep_cols is None else keep_cols
     return corpus.select(
-        id_col, vec_col, *code_cols, err.alias("recon_err")
+        id_col, *keep, *code_cols, err.alias("recon_err")
     )
 
 
@@ -962,17 +1003,39 @@ def pq_adc_topk(
     lookups into plan-literal codebooks + M sub_dim-wide squared-L2s —
     strictly cheaper than the full-dim exact pass, and the corpus side
     reads CODES only (the 64×-compressed table), never raw vectors. The
-    per-query top-k is a window over the bounded query partition count."""
+    per-query top-k is a window over the bounded query partition count.
+    The scan is still EXHAUSTIVE over the codes (flat PQ) —
+    :func:`ivfpq_topk` is the composed form that prunes it."""
     pairs = encoded.crossJoin(F.broadcast(queries)).filter(
         F.col(query_id_col) != F.col(id_col)
     )
+    return _adc_rank(pairs, books, sub_dim, k, id_col, query_id_col,
+                     query_vec_col)
+
+
+def _adc_col(books, sub_dim: int, query_vec_col: str) -> Column:
+    """Asymmetric distance Σ_s ||q_s − codeword(code_s)||², each subspace
+    term rounded at 9 dp (engine-stable). Codebooks are plan literals;
+    codeword lookup is ``element_at`` on the dense 0..K-1 code ids."""
     adc = F.lit(0.0)
     for s, book in enumerate(books):
         cw = F.element_at(_cent_literal(book), F.col(f"code_{s}").cast("int") + 1)
         sub = F.slice(F.col(query_vec_col), s * sub_dim + 1, sub_dim)
         adc = adc + rnd(_sq_l2(sub, cw["centroid"]), 9)
+    return adc
+
+
+def _adc_rank(
+    pairs: DataFrame, books, sub_dim: int, k: int,
+    id_col: str, query_id_col: str, query_vec_col: str,
+) -> DataFrame:
+    """Shared ADC scoring + per-query top-k tail of the flat (v14) and
+    IVF-pruned (v16) PQ searches: rank ascending on the 6-dp-rounded ADC
+    sum, lower neighbor_id on ties."""
     scored = pairs.select(
-        query_id_col, F.col(id_col).alias("neighbor_id"), adc.alias("adc")
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        _adc_col(books, sub_dim, query_vec_col).alias("adc"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc(rnd(F.col("adc"), 6)), F.asc("neighbor_id")
@@ -984,3 +1047,360 @@ def pq_adc_topk(
             query_id_col, "neighbor_id", rnd("adc", 4).alias("adc_dist"), "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (IVF + PQ, Jégou et al. 2011 §III): the composition every
+# production vector store (e.g. FAISS IVFPQ) serves from. The coarse
+# quantizer routes each vector to an inverted list; vectors are stored as
+# PQ codes partitioned by list_id; a query probes only its n_probe
+# nearest lists and ranks by asymmetric distance WITHIN them. Per query
+# the scan cost is n_probe/n_lists of the 64×-compressed code table —
+# v14's exhaustive ADC scan is O(corpus) per query batch at any scale,
+# this is the shape that stays sublinear. (Classic IVFADC encodes the
+# RESIDUAL x − coarse_centroid for tighter distortion; codes here
+# quantize x directly so the codebooks stay corpus-global and the oracle
+# replays one PQ chain instead of n_lists of them — the pruning
+# structure, which is the scale story, is identical.)
+#
+# Execution shape — three deliberate departures from v13/v14's
+# Catalyst-literal plans, each the paper's own device, all bit-compatible
+# with the oracle's arithmetic (distances fold per-dim in the same IEEE
+# order, rounded at 9 dp before every comparison):
+# - the Lloyd run happens DRIVER-SIDE over the bounded training sample
+#   (``lloyd_np``) — k·dim codebooks from ≤~2k vectors are not a
+#   cluster-scale job, and the interpreted fold expressions cost ~0.5
+#   ms/row (measured; same finding as lsh_buckets' kernel);
+# - assign + encode over the FULL corpus is one Arrow-batched numpy
+#   kernel (``ivfpq_assign_encode``) — one narrow map pass, no shuffle;
+# - each query precomputes its M×K ADC LOOKUP TABLE (the ADC trick from
+#   the paper) and ships it as a data column on the broadcast probe row,
+#   so scoring a candidate is M array lookups + adds — no per-pair
+#   vector math at all.
+# The query batch is collected driver-side (bounded by contract — an ANN
+# serving path scores queries in bounded batches; k·M·K doubles of LUT
+# per query).
+# ---------------------------------------------------------------------------
+
+def _rnd9_np(a):
+    import numpy as np
+
+    return np.floor(a * 1e9 + 0.5 + 1e-6) / 1e9
+
+
+def _rnd9_py(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e9 + 0.5 + 1e-6) / 1e9
+
+
+def _sq_l2_py(a, b) -> float:
+    # same left-to-right per-dimension fold from 0.0 as _sq_l2 / the
+    # oracle's list_sum(list_transform(...)) chain
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def lloyd_np(
+    rows: list, specs: list[tuple[int, int, int]], n_iter: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Driver-side joint Lloyd over a COLLECTED sample (rows must be
+    (id, vector) sorted by id — seeds are the first k rows per spec).
+    Same algorithm as :func:`_joint_lloyd`: per spec, assignment is the
+    9-dp-rounded squared-L2 argmin (lowest code on ties — numpy argmin's
+    first-minimum IS that tie-break), empty codes keep their codeword.
+    Distances accumulate per-dimension in the fold order both engines
+    use; means sum rows sequentially in id order then divide (summation
+    order across rows is not contractual anywhere — Spark's partial
+    aggregation order isn't either — and every downstream comparison
+    rounds at 9 dp first)."""
+    import numpy as np
+
+    E = np.asarray([[float(x) for x in v] for _, v in rows], dtype=np.float64)
+    books = [E[:k, off : off + width].copy() for off, width, k in specs]
+    for _ in range(n_iter):
+        for s, (off, width, k) in enumerate(specs):
+            sub = E[:, off : off + width]
+            acc = np.zeros((len(E), k), dtype=np.float64)
+            for d in range(width):
+                diff = sub[:, d : d + 1] - books[s][:, d][None, :]
+                acc += diff * diff
+            codes = np.argmin(_rnd9_np(acc), axis=1)
+            for j in range(k):
+                mask = codes == j
+                if mask.any():
+                    tot = np.zeros(width, dtype=np.float64)
+                    for row in sub[mask]:
+                        tot += row
+                    books[s][j] = tot / float(mask.sum())
+    return [
+        [(j, [float(x) for x in book[j]]) for j in range(len(book))]
+        for book in books
+    ]
+
+
+#: ivfpq_train_np refuses to collect a training set above this many rows —
+#: the driver-side Lloyd is for bounded SAMPLES (the production norm);
+#: anything bigger should either be sampled first or use the distributed
+#: :func:`ivfpq_train`.
+IVFPQ_DRIVER_TRAIN_MAX_ROWS = 200_000
+
+
+def ivfpq_train_np(
+    train: DataFrame, n_lists: int, n_sub: int, k_codes: int, sub_dim: int,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+    max_rows: int = IVFPQ_DRIVER_TRAIN_MAX_ROWS,
+):
+    """Driver-side :func:`ivfpq_train`: collect the (bounded) training
+    sample once, run the joint coarse+PQ Lloyd in numpy. Guarded by a
+    bounded limit-probe so an unsampled 100 TB corpus can't be collected
+    by accident. Returns ``(coarse_rows, pq_books)``."""
+    probed = train.select(id_col).limit(max_rows + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"ivfpq_train_np collects the training set and it exceeds "
+            f"max_rows={max_rows}; pass a sample (the catalog-v16 stride) "
+            f"or use the distributed ivfpq_train."
+        )
+    rows = [
+        (r[id_col], r[vec_col])
+        for r in train.select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+    dim = n_sub * sub_dim
+    specs = [(s * sub_dim, sub_dim, k_codes) for s in range(n_sub)]
+    specs.append((0, dim, n_lists))
+    books = lloyd_np(rows, specs, n_iter)
+    return books[-1], books[:-1]
+
+
+def ivfpq_assign_encode(
+    corpus: DataFrame, coarse, books, sub_dim: int,
+    id_col: str = "vec_id", vec_col: str = "emb",
+) -> DataFrame:
+    """(id, list_id, code_0..code_{M-1}, recon_err) in ONE Arrow-batched
+    numpy map pass over the corpus — the IVFADC encode. Bit-identical to
+    the ivf_assign + pq_encode expression chain (pinned in
+    tests/test_ivfpq.py): distances accumulate per-dimension in the same
+    IEEE order, are rounded at 9 dp, and argmin takes the lowest id on
+    ties. Partition-preserving: no shuffle, no join, at any corpus
+    size — the kernel holds (batch × k) distance accumulators only."""
+    import numpy as np
+
+    coarse_rows = _centroid_rows(coarse)
+    C = np.asarray([v for _, v in coarse_rows], dtype=np.float64)
+    B = [
+        np.asarray([cw for _, cw in book], dtype=np.float64) for book in books
+    ]
+    n_sub = len(B)
+    dim = C.shape[1]
+
+    def _argmin_r9(E, M):
+        acc = np.zeros((len(E), len(M)), dtype=np.float64)
+        for d in range(E.shape[1]):
+            diff = E[:, d : d + 1] - M[:, d][None, :]
+            acc += diff * diff
+        r9 = _rnd9_np(acc)
+        return np.argmin(r9, axis=1), np.min(r9, axis=1)
+
+    out_schema = (
+        f"`{id_col}` long, list_id long, "
+        + ", ".join(f"code_{s} long" for s in range(n_sub))
+        + ", recon_err double"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            assert E.shape[1] == dim
+            cols = {id_col: pdf[id_col].to_numpy()}
+            lists, _ = _argmin_r9(E, C)
+            cols["list_id"] = lists.astype(np.int64)
+            err = np.zeros(len(E), dtype=np.float64)
+            for s in range(n_sub):
+                sub = E[:, s * sub_dim : (s + 1) * sub_dim]
+                codes, dmin = _argmin_r9(sub, B[s])
+                cols[f"code_{s}"] = codes.astype(np.int64)
+                err = err + dmin
+            cols["recon_err"] = err
+            yield pd.DataFrame(cols)
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def _ivfpq_probes(
+    spark: SparkSession, queries: DataFrame, coarse, books,
+    sub_dim: int, n_probe: int,
+    query_id_col: str = "query_id", query_vec_col: str = "qemb",
+) -> tuple[DataFrame, list[int], int]:
+    """Collect the (bounded) query batch and build the probe table:
+    one row per (query, probed list) carrying the query's FLATTENED
+    M×K ADC lookup table (`dt[s*K + j]` = 9-dp-rounded squared-L2 from
+    the query's subvector s to codeword j). Returns the probe frame and
+    the distinct probed list ids (for partition-filter pushdown)."""
+    coarse_rows = _centroid_rows(coarse)
+    k_codes = len(books[0])
+    rows = []
+    probed: set[int] = set()
+    for q in queries.select(query_id_col, query_vec_col).collect():
+        qv = [float(x) for x in q[query_vec_col]]
+        dists = sorted(
+            (_rnd9_py(_sq_l2_py(qv, c)), lid) for lid, c in coarse_rows
+        )
+        lists = [lid for _, lid in dists[:n_probe]]
+        probed.update(lists)
+        dt = [
+            _rnd9_py(
+                _sq_l2_py(qv[s * sub_dim : (s + 1) * sub_dim], cw)
+            )
+            for s, book in enumerate(books)
+            for _, cw in book
+        ]
+        for lid in lists:
+            rows.append((q[query_id_col], lid, dt))
+    probes = spark.createDataFrame(
+        rows, f"{query_id_col} long, list_id long, dt array<double>"
+    )
+    return probes, sorted(probed), k_codes
+
+
+def _lut_rank(
+    pairs: DataFrame, n_sub: int, k_codes: int, k: int,
+    id_col: str, query_id_col: str,
+) -> DataFrame:
+    """ADC scoring + per-query top-k over LUT-carrying pairs: the score is
+    M lookups into the probe row's dt column summed left-to-right —
+    identical values (and identical 6-dp ranking) to v14's per-pair fold,
+    with no vector math in the scan."""
+    adc = F.lit(0.0)
+    for s in range(n_sub):
+        adc = adc + F.element_at(
+            F.col("dt"), (F.lit(s * k_codes) + F.col(f"code_{s}")).cast("int") + 1
+        )
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        adc.alias("adc"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc(rnd(F.col("adc"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "neighbor_id", rnd("adc", 4).alias("adc_dist"), "rank"
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame, queries: DataFrame,
+    k: int = 5, n_lists: int = 16, n_probe: int = 4,
+    n_sub: int = 8, k_codes: int = 16, sub_dim: int = 8, n_iter: int = 2,
+    id_col: str = "vec_id", vec_col: str = "emb",
+    query_id_col: str = "query_id", query_vec_col: str = "qemb",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-pruned asymmetric-distance top-k over PQ codes.
+
+    Driver-side joint Lloyd over ``train`` (a bounded sample — the
+    production norm; catalog v16 passes a corpus-count-derived stride so
+    the oracle replays the exact sample; defaults to the full corpus,
+    guarded by the collect ceiling), then ONE numpy map pass assigns +
+    encodes the full corpus, and the broadcast probe join touches only
+    rows whose list_id is probed, scored via per-query ADC lookup
+    tables. At scale the encoded table is written partitioned by list_id
+    (:func:`write_ivfpq_index`) and the probe becomes a planning-time
+    partition filter."""
+    coarse, books = ivfpq_train_np(
+        train if train is not None else corpus,
+        n_lists, n_sub, k_codes, sub_dim, n_iter, id_col, vec_col,
+    )
+    enc = ivfpq_assign_encode(
+        corpus, coarse, books, sub_dim, id_col=id_col, vec_col=vec_col
+    )
+    probes, _probed, _ = _ivfpq_probes(
+        corpus.sparkSession, queries, coarse, books, sub_dim, n_probe,
+        query_id_col, query_vec_col,
+    )
+    pairs = (
+        F.broadcast(probes).join(enc, "list_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    return _lut_rank(pairs, len(books), k_codes, k, id_col, query_id_col)
+
+
+def write_ivfpq_index(
+    corpus: DataFrame, path: str,
+    n_lists: int = 16, n_sub: int = 8, k_codes: int = 16, sub_dim: int = 8,
+    n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+    train: DataFrame | None = None,
+):
+    """Train + encode + write the IVFADC index: PQ codes partitioned by
+    ``list_id`` (64×-compressed — raw vectors are NOT stored), coarse
+    centroids at ``{path}/_centroids``, subspace codebooks at
+    ``{path}/_codebooks``. ``train`` optionally samples the Lloyd input
+    (see :func:`ivfpq_topk`). Returns ``(coarse_rows, books)``."""
+    spark = corpus.sparkSession
+    coarse, books = ivfpq_train_np(
+        train if train is not None else corpus,
+        n_lists, n_sub, k_codes, sub_dim, n_iter, id_col, vec_col,
+    )
+    enc = ivfpq_assign_encode(
+        corpus, coarse, books, sub_dim, id_col=id_col, vec_col=vec_col
+    )
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    spark.createDataFrame(
+        coarse, "list_id long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    spark.createDataFrame(
+        [(s, lid, cw) for s, book in enumerate(books) for lid, cw in book],
+        "s int, list_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+    return coarse, books
+
+
+def read_ivfpq_codebooks(
+    spark: SparkSession, path: str
+) -> list[list[tuple[int, list[float]]]]:
+    """The ``_codebooks`` side table back as the driver-side books list
+    (M × K × sub_dim doubles — tiny)."""
+    rows = spark.read.parquet(f"{path}/_codebooks").collect()
+    by_s: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), []).append(
+            (int(r["list_id"]), [float(x) for x in r["centroid"]])
+        )
+    return [sorted(by_s[s]) for s in sorted(by_s)]
+
+
+def probe_ivfpq_index(
+    spark: SparkSession, path: str, queries: DataFrame,
+    k: int = 5, n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id", query_vec_col: str = "qemb",
+) -> DataFrame:
+    """ADC top-k over a persisted IVFADC index. The probed list ids are
+    collected (tiny) and applied as a LITERAL ``isin`` filter, so the
+    code-table scan partition-prunes at planning time — a probe reads
+    n_probe/n_lists of the compressed files, never the corpus (pinned in
+    tests/test_ivfpq.py)."""
+    coarse = _centroid_rows(spark.read.parquet(f"{path}/_centroids"))
+    books = read_ivfpq_codebooks(spark, path)
+    sub_dim = len(books[0][0][1])
+    probes, probed_ids, k_codes = _ivfpq_probes(
+        spark, queries, coarse, books, sub_dim, n_probe,
+        query_id_col, query_vec_col,
+    )
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_ids))
+    pairs = (
+        F.broadcast(probes).join(index, "list_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    return _lut_rank(pairs, len(books), k_codes, k, id_col, query_id_col)

@@ -32,6 +32,39 @@ def table_path(root: str, layer: str, table: str) -> str:
     return os.path.join(root, layer, table)
 
 
+def atomic_rename_dir(spark: SparkSession, src: str, dst: str) -> bool:
+    """Publish ``src`` at ``dst`` with one filesystem rename (the atomic
+    commit primitive behind ``compact_table``'s swap, the incremental
+    stores' exactly-once appends, and the vector-store retrain). Returns
+    False without touching anything if ``dst`` already exists — the
+    idempotent-replay branch. Uses the Hadoop FileSystem API so the same
+    call works on local paths, HDFS, and rename-supporting object
+    stores."""
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jdst):
+        return False
+    parent = jdst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
+    return True
+
+
+def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Swap ``src`` over ``dst`` (delete + rename — the ``compact_table``
+    pattern for replacing a published directory with a rebuilt one)."""
+    jvm = spark._jvm
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jdst, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
 def write_table(
     df: DataFrame,
     root: str,
@@ -174,12 +207,7 @@ def compact_table(
     else:
         compacted.write.mode("overwrite").parquet(staging)
     # swap via the same FS API (atomic-rename pattern of X12)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
+    replace_dir(spark, staging, path)
     after = table_file_stats(spark, path)
     return {"before": before, "after": after}
 
