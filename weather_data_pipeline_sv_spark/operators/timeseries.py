@@ -43,43 +43,70 @@ def gap_fill_hourly(
 ) -> DataFrame:
     """Regular hourly series per key from min to max observed hour:
     missing hours appear with ``is_gap = true`` and the value forward-
-    filled from the most recent observed hour."""
+    filled from the most recent observed hour (most recent observed
+    NON-NULL value — an observed-but-null hour counts as a gap and
+    carries the prior value, matching ``last_value(... IGNORE NULLS)``).
+
+    Plan shape — SEGMENT explode, not spine-and-join: each observed hour
+    row (with its forward-fill value attached and the NEXT observed hour
+    from one ``lead`` pass) explodes into itself plus its trailing gap
+    hours, which already carry the filled value. One shuffle total (the
+    window on the compact per-hour frame); the expanded rows flow
+    straight to the consumer with NO join and NO window over the
+    expanded data. Earlier shapes measured at the 30× dir: spine join +
+    expanded-frame window 17.2 s, and its bounds-side explode ran
+    single-threaded because AQE coalesced the tiny aggregate to one
+    partition (a lone task emitting 31.5M rows) — the segment form is
+    ~3× faster and removes both hazards structurally.
+    """
     hourly = last_per_hour(df, keys, ts_col, value_col, tiebreak_col)
-    spine = (
-        hourly.groupBy(*keys)
-        .agg(F.min("hour").alias("__mn"), F.max("hour").alias("__mx"))
-        .select(
-            *keys,
-            F.explode(
-                F.sequence(
-                    F.col("__mn").cast("timestamp"),
-                    F.col("__mx").cast("timestamp"),
-                    F.expr("INTERVAL 1 HOUR"),
-                )
-            ).alias("__h"),
-        )
-        # cast outside the select holding the generator (Spark disallows
-        # expressions wrapping explode) — back to NTZ for host-tz-free collect
-        .select(*keys, F.col("__h").cast("timestamp_ntz").alias("hour"))
-    )
-    w = (
+    wff = (
         Window.partitionBy(*keys)
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # shuffle_hash hint: BOTH sides grow with (keys × hours) — Catalyst's
-    # post-aggregation size estimate otherwise broadcasts the hourly side
-    # (measured 2.9M rows broadcast at a 30× dir, 31.4 s vs 12.8 s with
-    # the hash join; at 100× the broadcast would OOM the driver). The
-    # equi-join on (keys, hour) hash-partitions cleanly; no sort needed.
-    return (
-        spine.join(hourly.hint("shuffle_hash"), [*keys, "hour"], "left")
-        .select(
-            *keys,
-            "hour",
-            F.last(value_col, ignorenulls=True).over(w).alias(f"{value_col}_ff"),
-            F.col(value_col).isNull().alias("is_gap"),
-        )
+    wlead = Window.partitionBy(*keys).orderBy("hour")
+    seg = hourly.select(
+        *keys,
+        F.col("hour").alias("__obs"),
+        F.col(value_col),
+        F.last(value_col, ignorenulls=True).over(wff).alias("__ff"),
+        F.lead("hour").over(wlead).alias("__next"),
+    )
+    # segment = [obs, next) on the hour grid; the last observed hour has
+    # no successor and emits only itself. Generator arithmetic runs on
+    # instants (sequence needs TIMESTAMP), result cast back to NTZ in a
+    # separate select (Spark disallows expressions wrapping explode).
+    gen = seg.select(
+        *keys,
+        "__obs",
+        value_col,
+        "__ff",
+        F.explode(
+            F.sequence(
+                F.col("__obs").cast("timestamp"),
+                F.coalesce(
+                    F.col("__next").cast("timestamp")
+                    - F.expr("INTERVAL 1 HOUR"),
+                    F.col("__obs").cast("timestamp"),
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("__h"),
+    )
+    return gen.select(
+        *keys,
+        F.col("__h").cast("timestamp_ntz").alias("hour"),
+        F.col("__ff").alias(f"{value_col}_ff"),
+        # a row is a gap unless it IS the observed hour and that
+        # observation was non-null — the same predicate the spine-join
+        # form read off the join's null side
+        (
+            ~(
+                (F.col("__h").cast("timestamp_ntz") == F.col("__obs"))
+                & F.col(value_col).isNotNull()
+            )
+        ).alias("is_gap"),
     )
 
 
