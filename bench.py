@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "pipe3_incremental_corpus",
     # round-5 additions
     "v16_ivfpq_topk",
+    "pipe5_quantizer_retrain",
 ]
 
 

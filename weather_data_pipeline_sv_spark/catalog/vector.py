@@ -1465,6 +1465,165 @@ def pipe4_incremental_semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# PIPE5 — quantizer-aging migration (operators/incremental_vectors.py
+# VectorStore.retrain): the incremental store is built exactly like pipe4
+# (fixed slice-1 quantizer, three arriving slices greedy-deduped against
+# persisted state — here through the REAL parquet VectorStore, exactly-
+# once batch renames included), then the aged quantizer is replaced:
+# re-train on the store's survivors (k2 sized from the SURVIVOR count,
+# training stride from the dense full-corpus count — both mirrored in
+# prm2/prm3), re-assign every stored vector (dropped ones included — the
+# greedy rule needs them), re-run the one-shot SemDeDup drop inside the
+# new lists, and atomically swap the rebuilt state in. The oracle replays
+# the ENTIRE lifecycle — incremental build AND the post-migration
+# one-shot — so the hash match proves retrain ≡ "batch job under the new
+# quantizer", the pipe4 theorem extended across a re-quantization.
+#
+# Scale shape: the migration is one sampled Lloyd train + one
+# assign/greedy pass over the store (the catalog-v10 batch job), paid
+# only when list_occupancy drift triggers it; the store is written
+# partitioned by the NEW list_id before a single directory rename, so a
+# crash anywhere leaves the old store intact and probes never see a
+# half-migrated layout.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe5_quantizer_retrain",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    prm0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    prm1 AS (SELECT n, (n - 1) // 3 AS cut1 FROM prm0),
+    prm AS (
+      SELECT n, cut1,
+             CAST(greatest(8, ceil((cut1 + 1) / {_SEM_BLOCK}.0)) AS BIGINT)
+               AS k,
+             CAST(greatest(1, (cut1 + 1) // greatest({_SEM_TRAIN},
+                    4 * CAST(greatest(8, ceil((cut1 + 1) / {_SEM_BLOCK}.0))
+                        AS BIGINT))) AS BIGINT) AS m
+      FROM prm1
+    ),
+    vt AS (
+      SELECT v.* FROM v CROSS JOIN prm
+      WHERE v.vec_id <= prm.cut1 AND v.vec_id % prm.m = 0
+    ),
+    c0 AS (
+      SELECT list_id, centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS list_id,
+               emb AS centroid
+        FROM vt
+      ) x CROSS JOIN prm WHERE x.list_id < prm.k
+    ),
+    {_duck_assign('a0', 'c0', 'vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', 'vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs
+      WHERE {rnd_sql('cos', 6)} >= {_SEM_TAU}
+    ),
+    surv AS (
+      SELECT s.vec_id, s.emb FROM assigned s
+      LEFT JOIN dropped d USING (vec_id) WHERE d.vec_id IS NULL
+    ),
+    prm2 AS (
+      SELECT CAST(greatest(8, ceil(count(*) / {_SEM_BLOCK}.0)) AS BIGINT)
+               AS k2
+      FROM surv
+    ),
+    prm3 AS (
+      SELECT CAST(greatest(1, prm0.n // greatest({_SEM_TRAIN},
+                   4 * prm2.k2)) AS BIGINT) AS m2
+      FROM prm0 CROSS JOIN prm2
+    ),
+    vt2 AS (
+      SELECT surv.* FROM surv CROSS JOIN prm3
+      WHERE surv.vec_id % prm3.m2 = 0
+    ),
+    c0b AS (
+      SELECT list_id, centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS list_id,
+               emb AS centroid
+        FROM vt2
+      ) x CROSS JOIN prm2 WHERE x.list_id < prm2.k2
+    ),
+    {_duck_assign('a0b', 'c0b', 'vt2')},
+    {_duck_recompute('c1b', 'a0b', 'c0b')},
+    {_duck_assign('a1b', 'c1b', 'vt2')},
+    {_duck_recompute('c2b', 'a1b', 'c1b')},
+    {_duck_assign('assigned2', 'c2b')},
+    pairs2 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM assigned2 a JOIN assigned2 b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    dropped2 AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs2
+      WHERE {rnd_sql('cos', 6)} >= {_SEM_TAU}
+    )
+    SELECT s.vec_id, s.list_id, d.vec_id IS NULL AS kept
+    FROM assigned2 s LEFT JOIN dropped2 d USING (vec_id)
+    """,
+)
+def pipe5_quantizer_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.incremental_vectors import VectorStore
+
+    emb, _ = _corpus_and_queries(spark, sf_dir)
+    n = _dense_count(emb)
+    cut1, cut2 = (n - 1) // 3, 2 * (n - 1) // 3
+    k, m = _sem_params(cut1 + 1)
+    root = tempfile.mkdtemp(prefix="wdp_pipe5_store_")
+    try:
+        vs = VectorStore(spark, root)
+        vs.initialize(
+            emb.filter((F.col("vec_id") <= cut1) & (F.col("vec_id") % m == 0)),
+            n_lists=k, n_iter=2,
+        )
+        slices = [
+            emb.filter(F.col("vec_id") <= cut1),
+            emb.filter((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)),
+            emb.filter(F.col("vec_id") > cut2),
+        ]
+        for bid, sl in enumerate(slices):
+            # slices grow with the corpus: no batch broadcast (j9 class)
+            vs.process_and_append(sl, batch_id=bid, broadcast_batch=False)
+        # retrain sizing: k2 from the SURVIVOR count (the aged-store
+        # signal), stride from the dense full-corpus count so the
+        # strided-sample-holds->=k invariant keeps its dense-id proof
+        # (survivor ids are sparse; at tau=0.45 survival stays high, and
+        # both engines take min(k2, sample) seeds if it ever thins)
+        n_surv = vs.survivors().count()
+        k2 = max(8, -(-n_surv // _SEM_BLOCK))
+        m2 = max(1, n // max(_SEM_TRAIN, 4 * k2))
+        vs.retrain(
+            k2, train=vs.survivors().filter(F.col("vec_id") % m2 == 0)
+        )
+        # pin before the tempdir is deleted — the store plan reads it
+        out = loop_cache(
+            vs.vectors().select("vec_id", "list_id", "kept"), eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # V13/V14 — product quantization (Jégou et al. 2011, operators/similarity.py
 # pq_*): M=8 contiguous subspaces × K=16 codewords, each codebook the same
 # deterministic Lloyd as the IVF coarse quantizer (lowest-id seeds, 2

@@ -271,12 +271,12 @@ class CorpusStore:
     def append(
         self, delta: dict[str, DataFrame], batch_id: int | None = None
     ) -> bool:
-        """Persist a batch delta exactly once. The delta plans lazily READ
-        this store's parquet, so each is pinned (eager, LINEAGE-TRUNCATING
-        — loop_cache, never plain persist: a recompute after the publish
-        would re-read the mutated store and produce different rows), all
-        three tables land in one staging directory (idempotent overwrite),
-        and a single atomic rename publishes them as ``batches/<id>``.
+        """Persist a batch delta exactly once: all three tables land in
+        one staging directory (idempotent overwrite), and a single atomic
+        rename publishes them as ``batches/<id>``. The delta plans
+        lazily READ this store's parquet — the staging writes fully
+        materialize them before the rename mutates anything, so callers
+        must not re-execute the delta plans after a successful append.
         Returns False — having written nothing — when that batch id is
         already published (the retry no-op)."""
         bid = (
@@ -287,8 +287,12 @@ class CorpusStore:
         final = os.path.join(self._batches_dir, str(bid))
         if os.path.isdir(final):
             return False
+        # LAZY pin: the three tables share the quality/shingle upstream
+        # (a fan-out head — without the pin each write recomputes it),
+        # and nothing mutates until the rename below, so the eager
+        # materialization the old in-place append needed is not required
         pinned = {
-            name: loop_cache(df, eager=True) for name, df in delta.items()
+            name: loop_cache(df) for name, df in delta.items()
         }
         staging = os.path.join(self.root, f"_staging_batch_{bid}")
         for name in self._TABLES:

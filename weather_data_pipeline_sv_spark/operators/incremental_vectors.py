@@ -193,17 +193,18 @@ class VectorStore:
         cents.coalesce(1).write.mode("overwrite").parquet(self._cent_dir)
 
     def append(self, delta: DataFrame, batch_id: int | None = None) -> bool:
-        """Persist a batch delta exactly once. The delta is pinned
-        lineage-truncating first (its plan lazily reads this store's
-        parquet — a recompute after the publish would see the mutated
-        directory), written to a staging dir (idempotent overwrite), then
-        published with one atomic rename to ``batch_id=<id>``. Returns
-        False — having written nothing — when that batch id is already
-        published (the retry no-op). ``batch_id`` defaults to
-        max(applied) + 1 for non-streaming callers; streaming passes the
-        micro-batch id, which Structured Streaming guarantees reuses the
-        SAME id on retry — that reuse is what makes the rename the
-        exactly-once commit point."""
+        """Persist a batch delta exactly once: written to a staging dir
+        (idempotent overwrite), then published with one atomic rename to
+        ``batch_id=<id>``. No pre-write pin is needed — the staging
+        write fully materializes the delta BEFORE the rename mutates the
+        directory its plan reads (callers must not re-execute the delta
+        plan after the publish; :meth:`process_and_append` hands back the
+        published rows instead). Returns False — having written nothing
+        — when that batch id is already published (the retry no-op).
+        ``batch_id`` defaults to max(applied) + 1 for non-streaming
+        callers; streaming passes the micro-batch id, which Structured
+        Streaming guarantees reuses the SAME id on retry — that reuse is
+        what makes the rename the exactly-once commit point."""
         bid = (
             batch_id
             if batch_id is not None
@@ -212,9 +213,8 @@ class VectorStore:
         final = os.path.join(self._vec_dir, f"batch_id={bid}")
         if os.path.isdir(final):
             return False
-        pinned = loop_cache(delta, eager=True)
         staging = os.path.join(self.root, f"_staging_batch_{bid}")
-        pinned.write.mode("overwrite").partitionBy("list_id").parquet(
+        delta.write.mode("overwrite").partitionBy("list_id").parquet(
             staging
         )
         from ..sources.writers import atomic_rename_dir
@@ -224,26 +224,37 @@ class VectorStore:
     def process_and_append(
         self, batch: DataFrame, batch_id: int | None = None, **kwargs
     ) -> DataFrame | None:
-        """Dedup one arriving batch against the store; returns the delta
-        that was appended (callers read ``kept`` off it), or None when
+        """Dedup one arriving batch against the store; returns the
+        PUBLISHED delta rows (read back from the just-renamed batch
+        directory — the in-memory delta plan reads pre-publish state and
+        must not be re-executed after the rename), or None when
         ``batch_id`` was already applied (replay no-op — the store is
         untouched and unread). ``kwargs`` pass through to
         :func:`process_vector_batch` — in particular
         ``broadcast_batch=False`` when batches grow with the corpus (a
         growing driver-side broadcast is the j9 bug class; pipe4 sets it)
         and ``tau`` for a non-default dedup threshold."""
-        if batch_id is not None and batch_id in set(self.applied_batch_ids()):
+        applied = self.applied_batch_ids()
+        if batch_id is not None and batch_id in set(applied):
             return None
+        bid = batch_id if batch_id is not None else (applied or [-1])[-1] + 1
         store = None if not self._has_vectors() else self.vectors()
         delta = process_vector_batch(batch, self.centroids(), store, **kwargs)
-        self.append(delta, batch_id=batch_id)
-        return delta
+        self.append(delta, batch_id=bid)
+        return (
+            self.spark.read.parquet(
+                os.path.join(self._vec_dir, f"batch_id={bid}")
+            )
+            .withColumn("list_id", F.col("list_id").cast("long"))
+            .select("vec_id", "emb", "list_id", "kept")
+        )
 
     def retrain(
         self,
         new_n_lists: int,
         n_iter: int = 2,
         tau: float = TAU,
+        train: DataFrame | None = None,
     ) -> DataFrame:
         """Quantizer-aging migration: re-train the coarse quantizer on the
         store's SURVIVORS, re-assign every stored vector (kept AND
@@ -259,13 +270,18 @@ class VectorStore:
 
         Scale shape: one Lloyd train over survivors + one assign/greedy
         pass over the store — exactly the catalog-v10 batch job, paid
-        only when ``list_occupancy`` drift triggers it. The rebuilt state
-        is written partitioned by the new ``list_id`` before the swap, so
+        only when ``list_occupancy`` drift triggers it. ``train``
+        optionally overrides the Lloyd input (e.g. catalog pipe5's
+        corpus-count-derived survivor stride, the v10 sampling pattern);
+        the default trains on all survivors. The rebuilt state is
+        written partitioned by the new ``list_id`` before the swap, so
         a crash anywhere before the final rename leaves the old store
         fully intact."""
         vecs = self.vectors().select("vec_id", "emb")
         cents = ivf_centroids(
-            self.survivors().select("vec_id", "emb"),
+            (train if train is not None else self.survivors()).select(
+                "vec_id", "emb"
+            ),
             n_lists=new_n_lists, n_iter=n_iter,
         )
         cent_rows = [
