@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from weather_data_pipeline_sv_spark.catalog import all_queries
+from weather_data_pipeline_sv_spark.functions.caching import (
+    release_stage_caches,
+)
 from weather_data_pipeline_sv_spark.session import get_spark
 
 # scale-stressing representative subset of the catalog
@@ -211,6 +214,10 @@ def main() -> None:
         # Job/stage-level polling can't see zombies (their job is already
         # done), so drain at TASK level via the executor running-task
         # counts.
+        # release any persist-mode stage caches by handle (no-op in the
+        # default local mode) — the module-level tracking list would
+        # otherwise hold strong references that defeat the gc below
+        release_stage_caches()
         tracker = spark.sparkContext.statusTracker()
         jtracker = spark.sparkContext._jsc.sc().statusTracker()
         deadline = time.time() + 20
@@ -276,8 +283,13 @@ def main() -> None:
     )
     # stop the session BEFORE printing: nothing (JVM teardown lines, late
     # log events) can land on the stream after the JSON, so a tail capture
-    # of stdout always ends with the one parseable line
-    spark.stop()
+    # of stdout always ends with the one parseable line. A teardown
+    # failure must not cost the artifact — the measurements are already
+    # in hand and stop()'s success is irrelevant to them.
+    try:
+        spark.stop()
+    except Exception as exc:
+        print(f"[bench] spark.stop() failed: {exc}", file=sys.stderr)
     sys.stdout.flush()
     print(result, flush=True)
 

@@ -311,3 +311,40 @@ def test_retrain_equals_one_shot_under_new_quantizer(spark, tmp_path):
     vs.process_and_append(extra)
     assert vs.applied_batch_ids() == [0, 1]
     assert 30 in {r["vec_id"] for r in vs.vectors().collect()}
+
+
+def test_empty_batch_append_and_legacy_layout_guard(spark, tmp_path):
+    rows = _vecs()
+    root = str(tmp_path / "vstore_edge")
+    vs = VectorStore(spark, root)
+    vs.initialize(
+        spark.createDataFrame(_slices(rows)[0], VEC_SCHEMA), n_lists=3
+    )
+    # an EMPTY micro-batch must publish cleanly (zero-row delta -> a
+    # file-less batch dir) and must not poison later reads or appends
+    empty = spark.createDataFrame([], VEC_SCHEMA)
+    out = vs.process_and_append(empty, batch_id=0)
+    assert out.count() == 0
+    assert vs.applied_batch_ids() == [0]
+    assert vs.vectors().count() == 0
+    vs.process_and_append(
+        spark.createDataFrame(_slices(rows)[0], VEC_SCHEMA), batch_id=1
+    )
+    assert vs.vectors().count() == len(_slices(rows)[0])
+    # a legacy-layout store (top-level list_id= dirs) errors loudly
+    # instead of silently reading as empty
+    legacy = str(tmp_path / "vstore_legacy")
+    os.makedirs(os.path.join(legacy, "vectors", "list_id=0"))
+    with pytest.raises(ValueError, match="legacy"):
+        VectorStore(spark, legacy).vectors()
+
+
+def test_corpus_store_legacy_layout_guard(spark, tmp_path):
+    from weather_data_pipeline_sv_spark.operators.incremental import (
+        CorpusStore,
+    )
+
+    legacy = str(tmp_path / "cstore_legacy")
+    os.makedirs(os.path.join(legacy, "docs"))
+    with pytest.raises(ValueError, match="legacy"):
+        CorpusStore(spark, legacy).docs()

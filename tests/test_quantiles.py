@@ -108,3 +108,22 @@ def test_histogram_plan_has_no_builtin_percentile(spark):
         df, ["g"], {"m": ("v", 0.5)}
     )._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower()
+
+
+def test_nulls_ignored_like_builtin(spark):
+    # the builtin percentile IGNORES nulls; the histogram must too, and
+    # an all-null group must still appear (with null quantiles)
+    rows = [
+        ("a", None), ("a", 1.0), ("a", 3.0),
+        ("b", None), ("b", None),             # all-null group
+        ("c", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    _assert_match(df, "g", {"median": ("v", 0.5)})
+    got = {
+        r["g"]: r["median"]
+        for r in grouped_exact_quantiles(
+            df, ["g"], {"median": ("v", 0.5)}
+        ).collect()
+    }
+    assert got == {"a": 2.0, "b": None, "c": 5.0}

@@ -1482,9 +1482,10 @@ def pipe4_incremental_semantic_dedup(
 # Scale shape: the migration is one sampled Lloyd train + one
 # assign/greedy pass over the store (the catalog-v10 batch job), paid
 # only when list_occupancy drift triggers it; the store is written
-# partitioned by the NEW list_id before a single directory rename, so a
-# crash anywhere leaves the old store intact and probes never see a
-# half-migrated layout.
+# partitioned by the NEW list_id before a backup-rename swap, so a crash
+# before the swap leaves the old store untouched and the swap window
+# keeps the old state recoverable at vectors.replaced (migrations run
+# out-of-band of probes).
 # ---------------------------------------------------------------------------
 @register(
     "pipe5_quantizer_retrain",
@@ -1800,9 +1801,13 @@ def v14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the production ANN serving shape (FAISS IVFPQ). A coarse quantizer
 # routes codes into inverted lists; the PQ codebooks compress vectors
 # 64×; a query probes its _N_PROBE nearest lists and ranks by asymmetric
-# distance over CODES within the probed lists only — per query batch the
-# scan reads n_probe/n_lists of the compressed table where v14 reads all
-# of it.
+# distance over CODES within the probed lists only — candidates are
+# isin-pruned to the probed lists before the join, so the rank stage
+# touches n_probe/n_lists of the codes where v14 ranks all of them. (The
+# in-memory entry still encodes every vector once — that is v13's
+# unavoidable pass; against a PERSISTED index the same isin becomes a
+# planning-time partition filter and the code SCAN itself prunes —
+# write_ivfpq_index/probe_ivfpq_index, pinned in tests/test_ivfpq.py.)
 #
 # Two deliberate differences from the v13/v14 chain, both the production
 # norm and both oracle-replayed:

@@ -237,6 +237,15 @@ class CorpusStore:
         self._batches_dir = os.path.join(root, "batches")
 
     def applied_batch_ids(self) -> list[int]:
+        # loud error, not silent reset: a store written by the pre-batch
+        # layout (root/docs|shingles|bands) would otherwise read as empty
+        # and forget every accepted document
+        if os.path.isdir(os.path.join(self.root, "docs")):
+            raise ValueError(
+                f"{self.root} uses the legacy per-table layout; rebuild "
+                "the store (re-run the batches) before appending with "
+                "the batches/<id> layout."
+            )
         if not os.path.isdir(self._batches_dir):
             return []
         return sorted(

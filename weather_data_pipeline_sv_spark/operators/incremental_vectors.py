@@ -154,11 +154,21 @@ class VectorStore:
     def vectors(self) -> DataFrame:
         # schema pinned: an empty store reads as an empty frame; batch_id/
         # list_id come back as partition columns — batch_id is dropped
-        # (commit metadata, not data), list_id cast to the schema
-        if not self._has_vectors():
+        # (commit metadata, not data), list_id cast to the schema. Only
+        # batch dirs that contain data files are read: an EMPTY published
+        # batch (a zero-row delta writes _SUCCESS and no parts) carries no
+        # rows and would otherwise break schema inference when it is the
+        # newest/only batch.
+        paths = [
+            os.path.join(self._vec_dir, f"batch_id={b}")
+            for b in self.applied_batch_ids()
+        ]
+        paths = [p for p in paths if _has_parquet_files(p)]
+        if not paths:
             return self.spark.createDataFrame([], VECTORS_SCHEMA)
         return (
-            self.spark.read.parquet(self._vec_dir)
+            self.spark.read.option("basePath", self._vec_dir)
+            .parquet(*paths)
             .withColumn("list_id", F.col("list_id").cast("long"))
             .select("vec_id", "emb", "list_id", "kept")
         )
@@ -177,9 +187,20 @@ class VectorStore:
     def applied_batch_ids(self) -> list[int]:
         if not os.path.isdir(self._vec_dir):
             return []
+        entries = os.listdir(self._vec_dir)
+        # loud error, not silent reset: a store written by the pre-batch
+        # layout (vectors/list_id=M at the top level) would otherwise
+        # read as empty — forgetting every accepted vector — and the
+        # first new append would corrupt partition discovery
+        if any(e.startswith("list_id=") for e in entries):
+            raise ValueError(
+                f"{self._vec_dir} uses the legacy list_id-only layout; "
+                "rebuild the store (re-run the batches, or retrain()) "
+                "before appending with the batch_id layout."
+            )
         return sorted(
             int(e.split("=", 1)[1])
-            for e in os.listdir(self._vec_dir)
+            for e in entries
             if e.startswith("batch_id=")
         )
 
@@ -241,10 +262,12 @@ class VectorStore:
         store = None if not self._has_vectors() else self.vectors()
         delta = process_vector_batch(batch, self.centroids(), store, **kwargs)
         self.append(delta, batch_id=bid)
+        final = os.path.join(self._vec_dir, f"batch_id={bid}")
+        if not _has_parquet_files(final):
+            return self.spark.createDataFrame([], VECTORS_SCHEMA)
         return (
-            self.spark.read.parquet(
-                os.path.join(self._vec_dir, f"batch_id={bid}")
-            )
+            self.spark.read.option("basePath", self._vec_dir)
+            .parquet(final)
             .withColumn("list_id", F.col("list_id").cast("long"))
             .select("vec_id", "emb", "list_id", "kept")
         )
@@ -273,10 +296,13 @@ class VectorStore:
         only when ``list_occupancy`` drift triggers it. ``train``
         optionally overrides the Lloyd input (e.g. catalog pipe5's
         corpus-count-derived survivor stride, the v10 sampling pattern);
-        the default trains on all survivors. The rebuilt state is
-        written partitioned by the new ``list_id`` before the swap, so
-        a crash anywhere before the final rename leaves the old store
-        fully intact."""
+        the default trains on all survivors. The rebuilt state is fully
+        written to a staging directory before the backup-rename swap
+        (``sources.writers.replace_dir``): a crash before the swap
+        leaves the old store untouched, and the swap itself keeps the
+        old state recoverable at ``vectors.replaced`` until the new
+        directory is live — run the migration out-of-band of probes
+        (the brief rename window has no ``vectors/`` directory)."""
         vecs = self.vectors().select("vec_id", "emb")
         cents = ivf_centroids(
             (train if train is not None else self.survivors()).select(
@@ -309,9 +335,17 @@ class VectorStore:
         return self.vectors()
 
     def _has_vectors(self) -> bool:
-        return os.path.isdir(self._vec_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(self._vec_dir)
-        )
+        return bool(self.applied_batch_ids())
+
+
+def _has_parquet_files(path: str) -> bool:
+    """True iff the directory tree under ``path`` holds at least one
+    parquet data file (a zero-row partitioned write publishes only
+    _SUCCESS — readable metadata, no inferable schema)."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def incremental_vector_stream(

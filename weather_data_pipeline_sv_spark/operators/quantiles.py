@@ -52,13 +52,17 @@ def grouped_exact_quantiles(
         col: {name: p for name, (c, p) in quantiles.items() if c == col}
         for col in value_cols
     }
-    out: DataFrame | None = None
+    # start from the distinct group set of the UNFILTERED input and LEFT
+    # join each column's stats: a group whose values are all NULL must
+    # still appear (with NULL quantiles), exactly as the builtin
+    # `percentile` renders it
+    out = df.select(*group_cols).distinct()
     for col in value_cols:
         part = _one_column_quantiles(
             df, group_cols, col, per_col[col],
             (grid_decimals or {}).get(col),
         )
-        out = part if out is None else out.join(part, group_cols)
+        out = out.join(part, group_cols, "left")
     return out
 
 
@@ -72,8 +76,13 @@ def _one_column_quantiles(
     v = F.col(value_col).cast("double")
     if grid is not None:
         v = rnd(v, grid)
-    hist = df.groupBy(*group_cols, v.alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
+    # NULLs are excluded BEFORE counting — the builtin `percentile`
+    # ignores them, and a null row in the histogram would shift every
+    # cumulative position (nulls sort first in the window)
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     wg = Window.partitionBy(*group_cols)
     cum = hist.select(

@@ -1325,12 +1325,19 @@ def ivfpq_topk(
     enc = ivfpq_assign_encode(
         corpus, coarse, books, sub_dim, id_col=id_col, vec_col=vec_col
     )
-    probes, _probed, _ = _ivfpq_probes(
+    probes, probed_ids, _ = _ivfpq_probes(
         corpus.sparkSession, queries, coarse, books, sub_dim, n_probe,
         query_id_col, query_vec_col,
     )
+    # prune non-probed lists BEFORE the join. In-memory the encode kernel
+    # still touches every raw vector once (codes must be computed — that
+    # is v13's unavoidable pass); the filter keeps unprobed rows out of
+    # the join/rank. The persisted path (write_ivfpq_index +
+    # probe_ivfpq_index) is where the SCAN itself prunes: the same isin
+    # becomes a planning-time partition filter over the code files.
     pairs = (
-        F.broadcast(probes).join(enc, "list_id")
+        F.broadcast(probes)
+        .join(enc.filter(F.col("list_id").isin(probed_ids)), "list_id")
         .filter(F.col(query_id_col) != F.col(id_col))
     )
     return _lut_rank(pairs, len(books), k_codes, k, id_col, query_id_col)

@@ -55,14 +55,25 @@ def atomic_rename_dir(spark: SparkSession, src: str, dst: str) -> bool:
 
 
 def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
-    """Swap ``src`` over ``dst`` (delete + rename — the ``compact_table``
-    pattern for replacing a published directory with a rebuilt one)."""
+    """Swap ``src`` over ``dst`` via BACKUP-rename, not delete-then-rename:
+    ``dst`` → ``dst.replaced`` (atomic), ``src`` → ``dst`` (atomic), then
+    the backup is deleted. No crash point destroys both copies: before
+    the first rename the old directory is live; between the renames the
+    old state survives intact at ``dst.replaced`` (a recoverable window
+    in which ``dst`` is briefly absent — callers that serve reads during
+    a swap must quiesce them; the incremental stores run migrations
+    out-of-band); after the second the new state is live and only the
+    backup cleanup remains."""
     jvm = spark._jvm
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
     fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jdst, True)
+    jbak = jvm.org.apache.hadoop.fs.Path(dst + ".replaced")
+    fs.delete(jbak, True)  # leftover from an interrupted earlier swap
+    if fs.exists(jdst) and not fs.rename(jdst, jbak):
+        raise IOError(f"backup rename {dst} -> {dst}.replaced failed")
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), jdst):
         raise IOError(f"rename {src} -> {dst} failed")
+    fs.delete(jbak, True)
 
 
 def write_table(
