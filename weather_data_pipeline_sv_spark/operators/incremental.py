@@ -288,11 +288,11 @@ class CorpusStore:
         must not re-execute the delta plans after a successful append.
         Returns False — having written nothing — when that batch id is
         already published (the retry no-op)."""
-        bid = (
-            batch_id
-            if batch_id is not None
-            else (self.applied_batch_ids() or [-1])[-1] + 1
-        )
+        # applied_batch_ids() also validates the layout (a legacy
+        # per-table store raises) — run it even with an explicit id so a
+        # direct append can't corrupt a store a read would refuse
+        applied = self.applied_batch_ids()
+        bid = batch_id if batch_id is not None else (applied or [-1])[-1] + 1
         final = os.path.join(self._batches_dir, str(bid))
         if os.path.isdir(final):
             return False

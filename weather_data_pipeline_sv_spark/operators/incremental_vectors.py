@@ -186,6 +186,17 @@ class VectorStore:
 
     def applied_batch_ids(self) -> list[int]:
         if not os.path.isdir(self._vec_dir):
+            # a retrain swap that crashed between its renames leaves the
+            # ONLY copy at vectors.replaced — that store must not read
+            # as freshly empty (the silent-reset failure class). Any
+            # replace_dir re-run restores it; surface the state loudly.
+            if os.path.isdir(self._vec_dir + ".replaced"):
+                raise ValueError(
+                    f"{self._vec_dir} is missing but "
+                    f"{self._vec_dir}.replaced exists — an interrupted "
+                    "retrain swap. Restore it (rename the .replaced "
+                    "directory back, or re-run retrain) before reading."
+                )
             return []
         entries = os.listdir(self._vec_dir)
         # loud error, not silent reset: a store written by the pre-batch
@@ -226,11 +237,11 @@ class VectorStore:
         callers; streaming passes the micro-batch id, which Structured
         Streaming guarantees reuses the SAME id on retry — that reuse is
         what makes the rename the exactly-once commit point."""
-        bid = (
-            batch_id
-            if batch_id is not None
-            else (self.applied_batch_ids() or [-1])[-1] + 1
-        )
+        # applied_batch_ids() also validates the layout (legacy dirs /
+        # interrupted swaps raise) — run it even with an explicit id so a
+        # direct append can't corrupt a store a read would refuse
+        applied = self.applied_batch_ids()
+        bid = batch_id if batch_id is not None else (applied or [-1])[-1] + 1
         final = os.path.join(self._vec_dir, f"batch_id={bid}")
         if os.path.isdir(final):
             return False

@@ -52,17 +52,25 @@ def grouped_exact_quantiles(
         col: {name: p for name, (c, p) in quantiles.items() if c == col}
         for col in value_cols
     }
-    # start from the distinct group set of the UNFILTERED input and LEFT
-    # join each column's stats: a group whose values are all NULL must
-    # still appear (with NULL quantiles), exactly as the builtin
-    # `percentile` renders it
-    out = df.select(*group_cols).distinct()
-    for col in value_cols:
-        part = _one_column_quantiles(
+    parts = [
+        _one_column_quantiles(
             df, group_cols, col, per_col[col],
             (grid_decimals or {}).get(col),
         )
-        out = out.join(part, group_cols, "left")
+        for col in value_cols
+    ]
+    # every part carries EVERY group (all-null values become the null
+    # histogram bucket — see _one_column_quantiles), so the multi-column
+    # combine is an inner join; eqNullSafe keys keep groups whose group
+    # KEY is null (plain equality would drop them, which the builtin
+    # doesn't)
+    out = parts[0]
+    for part in parts[1:]:
+        cond = None
+        for c in group_cols:
+            eq = out[c].eqNullSafe(part[c])
+            cond = eq if cond is None else cond & eq
+        out = out.join(part, cond).drop(*[part[c] for c in group_cols])
     return out
 
 
@@ -76,24 +84,38 @@ def _one_column_quantiles(
     v = F.col(value_col).cast("double")
     if grid is not None:
         v = rnd(v, grid)
-    # NULLs are excluded BEFORE counting — the builtin `percentile`
-    # ignores them, and a null row in the histogram would shift every
-    # cumulative position (nulls sort first in the window)
-    hist = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*group_cols, v.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # NULL values get their OWN histogram bucket rather than a pre-filter:
+    # the builtin `percentile` ignores nulls, and the when-guarded sums
+    # below count only non-null buckets — but keeping the null bucket
+    # means a group whose values are ALL null still reaches the final
+    # groupBy (yielding null quantiles, exactly as the builtin renders
+    # it) with no extra group-enumeration scan of the input
+    hist = df.groupBy(*group_cols, v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
     )
+    nn = F.when(F.col("__v").isNotNull(), F.col("__c"))
     wg = Window.partitionBy(*group_cols)
+    # nulls sort FIRST, contributing 0 to the when-guarded cumulative sum,
+    # so __cum at each non-null bucket is the count of non-null values <=
+    # it and __n the group's non-null total — positions match the builtin
     cum = hist.select(
         *group_cols,
         "__v",
-        F.sum("__c")
-        .over(wg.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__cum"),
-        F.sum("__c")
-        .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("__n"),
+        F.coalesce(
+            F.sum(nn).over(
+                wg.orderBy(F.asc_nulls_first("__v"))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit(0),
+        ).alias("__cum"),
+        F.coalesce(
+            F.sum(nn).over(
+                wg.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            F.lit(0),
+        ).alias("__n"),
     )
     aggs = []
     for name, p in ps.items():

@@ -773,6 +773,28 @@ def write_ivf_index(
     return cents
 
 
+def _dir_has_parquet(path: str) -> bool:
+    """True iff the local directory tree holds at least one parquet data
+    file. An incremental VectorStore whose only published batches are
+    EMPTY (file-less ``batch_id=`` dirs) has readable state semantics
+    (no vectors yet) but no inferable parquet schema — probes must treat
+    it as an empty index rather than crash. Walks with Spark's
+    visibility rule (``_``/``.``-prefixed entries are metadata, e.g. the
+    ``_centroids`` side table, and don't count as index data). Local-FS
+    walk: the stores this guards are local-path-backed; a remote-FS
+    index written by ``write_ivf*_index`` always contains data files."""
+    import os
+
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            return True
+    return False
+
+
 def probe_ivf_index(
     spark: SparkSession, path: str, queries: DataFrame,
     k: int = 5, n_probe: int = 4,
@@ -784,6 +806,11 @@ def probe_ivf_index(
     scan with ``list_id isin(probe lists)`` — a partition filter, so only
     the probed directories are read (assert via
     ``tests/test_ivf_index.py``'s pruning check)."""
+    if not _dir_has_parquet(path):
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, cosine double, rank int",
+        )
     rows = _centroid_rows(
         spark.read.parquet(f"{path}/_centroids")
     )
@@ -1325,19 +1352,19 @@ def ivfpq_topk(
     enc = ivfpq_assign_encode(
         corpus, coarse, books, sub_dim, id_col=id_col, vec_col=vec_col
     )
-    probes, probed_ids, _ = _ivfpq_probes(
+    probes, _probed_ids, _ = _ivfpq_probes(
         corpus.sparkSession, queries, coarse, books, sub_dim, n_probe,
         query_id_col, query_vec_col,
     )
-    # prune non-probed lists BEFORE the join. In-memory the encode kernel
-    # still touches every raw vector once (codes must be computed — that
-    # is v13's unavoidable pass); the filter keeps unprobed rows out of
-    # the join/rank. The persisted path (write_ivfpq_index +
-    # probe_ivfpq_index) is where the SCAN itself prunes: the same isin
-    # becomes a planning-time partition filter over the code files.
+    # The broadcast hash join on list_id IS the in-memory prune: an
+    # unprobed row misses the build table map-side and is dropped in the
+    # same stage that computed its codes (which must be computed anyway —
+    # v13's unavoidable pass), so only probed-list candidates reach the
+    # rank. Against a PERSISTED index the probed-list set additionally
+    # prunes the SCAN itself — probe_ivfpq_index applies it as a
+    # planning-time partition filter over the code files.
     pairs = (
-        F.broadcast(probes)
-        .join(enc.filter(F.col("list_id").isin(probed_ids)), "list_id")
+        F.broadcast(probes).join(enc, "list_id")
         .filter(F.col(query_id_col) != F.col(id_col))
     )
     return _lut_rank(pairs, len(books), k_codes, k, id_col, query_id_col)
@@ -1398,6 +1425,12 @@ def probe_ivfpq_index(
     code-table scan partition-prunes at planning time — a probe reads
     n_probe/n_lists of the compressed files, never the corpus (pinned in
     tests/test_ivfpq.py)."""
+    if not _dir_has_parquet(path):
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} long, neighbor_id long, adc_dist double, "
+            "rank int",
+        )
     coarse = _centroid_rows(spark.read.parquet(f"{path}/_centroids"))
     books = read_ivfpq_codebooks(spark, path)
     sub_dim = len(books[0][0][1])

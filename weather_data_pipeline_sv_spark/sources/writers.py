@@ -63,14 +63,28 @@ def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
     in which ``dst`` is briefly absent — callers that serve reads during
     a swap must quiesce them; the incremental stores run migrations
     out-of-band); after the second the new state is live and only the
-    backup cleanup remains."""
+    backup cleanup remains. If a PREVIOUS swap crashed inside that
+    window (``dst`` absent, backup present), the backup is the sole
+    surviving copy: it is restored to ``dst`` before this swap proceeds,
+    never deleted — the caller may have (re)built ``src`` from the
+    missing ``dst``."""
     jvm = spark._jvm
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
     fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
     jbak = jvm.org.apache.hadoop.fs.Path(dst + ".replaced")
-    fs.delete(jbak, True)  # leftover from an interrupted earlier swap
-    if fs.exists(jdst) and not fs.rename(jdst, jbak):
-        raise IOError(f"backup rename {dst} -> {dst}.replaced failed")
+    if not fs.exists(jdst) and fs.exists(jbak):
+        # a previous swap crashed between its two renames: the backup is
+        # the ONLY copy of the old state. Restore it first — deleting it
+        # here would destroy that sole copy, and the caller may have
+        # derived `src` from the missing `dst` (i.e. from nothing).
+        if not fs.rename(jbak, jdst):
+            raise IOError(
+                f"restore of interrupted swap {dst}.replaced -> {dst} failed"
+            )
+    if fs.exists(jdst):
+        fs.delete(jbak, True)  # stale backup — dst is live, safe to drop
+        if not fs.rename(jdst, jbak):
+            raise IOError(f"backup rename {dst} -> {dst}.replaced failed")
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), jdst):
         raise IOError(f"rename {src} -> {dst} failed")
     fs.delete(jbak, True)
