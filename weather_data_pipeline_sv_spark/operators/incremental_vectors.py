@@ -50,7 +50,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.caching import loop_cache, stage_cache
+from ..functions.caching import stage_cache
 from ..functions.rounding import rnd
 from .similarity import SEM_TAU, cosine, ivf_assign, ivf_centroids
 
