@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "v16_ivfpq_topk",
     "pipe5_quantizer_retrain",
+    "smp6_temperature_mix",
 ]
 
 

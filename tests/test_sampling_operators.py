@@ -58,3 +58,55 @@ def test_split_disjoint_exhaustive_stable(spark, sf_dir):
              .withColumn("split", split_column(F.col("doc_id"), 0.1, 0.1))
              .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == counts
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from weather_data_pipeline_sv_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    # skewed mixture: 900 'big' docs, 24 'rare' docs
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "rare") for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", alpha=0.3).cache()
+    got = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    n = 924
+    import math
+    z = 900 ** 0.3 + 24 ** 0.3
+    exp_big = n * (900 ** 0.3) / z
+    exp_rare = n * (24 ** 0.3) / z
+    # realized counts sit within the +/- n_s bernoulli envelope of the
+    # exact expectations, and the mixture is genuinely flattened
+    assert abs(got["big"] - exp_big) <= 900
+    assert abs(got["rare"] - exp_rare) <= 24
+    assert got["rare"] > 24  # rare source UP-sampled (copies > 1)
+    assert got["big"] < 900  # dominant source down-sampled
+    # rare docs really repeat: every rare doc appears floor(rate) or
+    # floor(rate)+1 times, with contiguous 1-based copy indexes
+    rate_rare = exp_rare / 24
+    per_doc = {
+        r["doc_id"]: r["c"]
+        for r in out.filter("source = 'rare'")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert set(per_doc.values()) <= {
+        math.floor(rate_rare), math.floor(rate_rare) + 1
+    }
+    idx = sorted(
+        r["copy_idx"]
+        for r in out.filter("source = 'rare' and doc_id = 1000").collect()
+    )
+    assert idx == list(range(1, len(idx) + 1))
+    # deterministic: a second run is row-identical
+    again = temperature_resample(df, "source", "doc_id", alpha=0.3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    out.unpersist()

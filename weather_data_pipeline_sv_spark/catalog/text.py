@@ -622,6 +622,71 @@ def smp5_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SMP6 — temperature-based mixture resampling (mT5 §3.1 / the standard
+# multilingual-pretraining alpha-sampling rule,
+# operators/sampling.py::temperature_resample): source share p_s is
+# flattened to q_s ∝ p_s^alpha (alpha = 0.3) and every document gets a
+# DETERMINISTIC repeat count realized from the md5 variate — rare
+# sources genuinely UP-sample (copy_idx > 1, the epochs-per-source
+# behavior smp1's keep/drop mixing cannot express), dominant sources
+# down-sample, total stays ≈ N. The per-source rate mixes pow() and a
+# cross-source sum (summation order non-contractual), so it is rounded
+# at 9 dp before the floor/threshold — both engines then compare
+# identical constants against the exact dyadic hash variate.
+#
+# Scale shape: one tiny per-source count agg, rates broadcast back, and
+# a map-side sequence() explode bounded by ceil(max rate); the corpus is
+# never shuffled. Output rows ≈ N at any size.
+# ---------------------------------------------------------------------------
+_SMP6_ALPHA = 0.3
+
+
+@register(
+    "smp6_temperature_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn,
+             sum(pow(CAST(n AS DOUBLE), {_SMP6_ALPHA})) AS z
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             {rnd_sql(
+                 f'pow(CAST(n AS DOUBLE), {_SMP6_ALPHA}) / t.z * t.nn'
+                 ' / CAST(n AS DOUBLE)', 9)} AS rate
+      FROM c CROSS JOIN t
+    ),
+    d AS (
+      SELECT doc_id, source, {hash_uniform_sql('doc_id', 'temp')} AS u
+      FROM documents
+    ),
+    k AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(r.rate)
+                  + CASE WHEN d.u < {rnd_sql('r.rate - floor(r.rate)', 9)}
+                         THEN 1 ELSE 0 END AS BIGINT) AS copies
+      FROM d JOIN r USING (source)
+    )
+    SELECT k.doc_id, k.source, CAST(g.i AS BIGINT) AS copy_idx
+    FROM k, unnest(generate_series(1, k.copies)) AS g(i)
+    """,
+)
+def smp6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_resample
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    out = temperature_resample(
+        d.select("doc_id", "source"), "source", "doc_id",
+        alpha=_SMP6_ALPHA, salt="temp",
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+# ---------------------------------------------------------------------------
 # D6 — near-dup clustering: connected components over the Jaccard >= 0.6
 # pair graph (transitive closure — A~B, B~C => one cluster even when A,C
 # never pair directly). Spark side is iterative min-label propagation

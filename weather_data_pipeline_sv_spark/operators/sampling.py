@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import rnd
+
 _TWO32 = 4294967296.0
 
 
@@ -50,6 +52,61 @@ def stratified_sample(
     for stratum, f_ in fractions.items():
         rate = F.when(F.col(strata_col) == stratum, F.lit(f_)).otherwise(rate)
     return df.filter(hash_uniform(F.col(key_col), salt) < rate)
+
+
+def temperature_resample(
+    df: DataFrame, group_col: str, key_col: str,
+    alpha: float = 0.3, salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/multilingual
+    alpha-sampling rule): a group with corpus share p_s = n_s/N is
+    resampled toward target share q_s ∝ p_s^alpha (alpha < 1 flattens the
+    mixture — rare sources UP-sample, dominant ones down-sample), keeping
+    the total corpus size ≈ N. Every document gets a DETERMINISTIC repeat
+    count: rate_s = q_s·N/n_s expected copies, realized as
+    floor(rate_s) + (hash_uniform(key) < frac(rate_s)) — so the op is
+    reproducible, engine-replayable, and a rare-source doc can appear
+    MULTIPLE times (the epochs-per-source behavior trainers actually
+    use). Returns one output row per copy with ``copy_idx`` (1-based).
+
+    Cross-engine determinism: rate_s mixes ``pow`` and a tiny cross-group
+    sum whose summation order is not contractual, so it is rounded at
+    9 dp (the repo's comparison rule) before floor/threshold use; the
+    hash variate is an exact dyadic rational.
+
+    Scale shape: one partial-aggregating count per group (output rows =
+    |groups|, tiny), the per-group rate broadcast-joined back, and a
+    map-side sequence() explode bounded by ceil(max rate) — no shuffle
+    of the corpus beyond the one broadcast hash join, at any size."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").cast("double").alias("__total"),
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        rnd(
+            F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.col("__z") * F.col("__total") / F.col("__n").cast("double"),
+            9,
+        ).alias("__rate"),
+    )
+    j = df.join(F.broadcast(rates), group_col)
+    u = hash_uniform(F.col(key_col), salt)
+    copies = (
+        F.floor(F.col("__rate"))
+        + F.when(u < rnd(F.col("__rate") - F.floor(F.col("__rate")), 9), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        j.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))),
+        )
+        .drop("__rate", "__copies")
+    )
 
 
 def exact_stratified_split(
