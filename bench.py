@@ -1,12 +1,24 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+Stdout contract (the driver tail-captures stdout and parses the LAST
+line; at 70+ entries the full per-query dict is ~2.7 KB — bigger than
+the capture window, which produced two rounds of "parsed": null):
+  line N-1: the FULL result JSON
+            {"metric": "...", "value": <total sec>, "unit": "sec",
+             "queries": {...}, "cpu_queries": {...}, "sf": 0.1}
+  line N:   a COMPACT summary, guaranteed to fit any tail window:
+            {"metric": "...", "value": <total>, "unit": "sec",
+             "n": <len(queries)>, "cpu_value": <total>, "sf": 0.1}
 
 Each query executes end-to-end into the `noop` sink (full computation, no
 column pruning shortcut, no driver collect). First a warmup query runs so
 JVM/codegen startup isn't billed to the first measured query.
+
+Besides wall time, each query records PROCESS-TREE CPU seconds (driver +
+JVM + Python workers, via /proc, reaped children included): on a box with
+external CPU steal, wall inflates while CPU tracks actual work, so
+wall >> prior wall with cpu ~= prior cpu is mechanically "contention, not
+regression" — tools/bench_diff.py gates on the CPU column.
 """
 
 from __future__ import annotations
@@ -108,7 +120,54 @@ BENCH_QUERIES = [
     "v16_ivfpq_topk",
     "pipe5_quantizer_retrain",
     "smp6_temperature_mix",
+    # round-6 additions
+    "v17_ivfpq_recall",
 ]
+
+
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (user+sys) consumed so far by this process and
+    every live descendant (the local-mode JVM and its Python workers),
+    plus already-reaped children via the parents' cutime/cstime — so a
+    worker that exits between two reads keeps its CPU attributed. Deltas
+    of this counter are per-query CPU cost. Linux /proc only; returns
+    nan elsewhere (the artifact then records wall only)."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        ppid_of: dict[int, int] = {}
+        cpu_of: dict[int, float] = {}
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat", "rb") as f:
+                    raw = f.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced a process exit
+            # pid (comm) state ppid ... utime=13 stime=14 cutime=15 cstime=16
+            rpar = raw.rindex(")")
+            fields = raw[rpar + 2 :].split()
+            pid = int(ent)
+            ppid_of[pid] = int(fields[1])
+            cpu_of[pid] = (
+                int(fields[11]) + int(fields[12])
+                + int(fields[13]) + int(fields[14])
+            ) / tick
+        total, frontier = 0.0, {me}
+        seen = set()
+        while frontier:
+            p = frontier.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            total += cpu_of.get(p, 0.0)
+            frontier.update(
+                c for c, pp in ppid_of.items() if pp == p and c not in seen
+            )
+        return total
+    except Exception:
+        return float("nan")
 
 
 def main() -> None:
@@ -180,21 +239,34 @@ def main() -> None:
     # ~2k without). Interruption makes the drain LIE; keep cancellation
     # cooperative and make the drain skeptical instead (hysteresis).
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
     for name in names:
         best = None
+        best_cpu = None
         for _ in range(N_RUNS):
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            dc = _tree_cpu_seconds() - c0
+            # CPU of the SAME run that won on wall — a matched
+            # (wall, cpu) pair is what makes steal visible, a min over
+            # mismatched runs is not
+            if best is None or dt < best:
+                best, best_cpu = dt, dc
         timings[name] = round(best, 3)
+        cpu_timings[name] = round(best_cpu, 3)
         # liveness/progress to STDERR only: stdout must carry nothing but
         # the final JSON line (the driver tail-captures stdout and parses
         # the last line — BENCH_r04.json came back "parsed": null when
         # output interleaved with it)
-        print(f"[bench] {name}: {timings[name]} s", file=sys.stderr, flush=True)
+        print(
+            f"[bench] {name}: {timings[name]} s wall, "
+            f"{cpu_timings[name]} s cpu",
+            file=sys.stderr, flush=True,
+        )
         # release session state between queries so timings are independent:
         # cached frames and (crucially) localCheckpoint blocks from the
         # dedup/persist operators otherwise accumulate in executor storage
@@ -264,27 +336,41 @@ def main() -> None:
     # visible — the FATAL window covers exactly the known-noise loop
     _set_dag_level("ERROR")
 
-    result = json.dumps(
+    # a subset run must not be mistakable for the full-suite headline
+    # artifact
+    metric = (
+        f"headline query wall-clock (noop sink, min of {N_RUNS} runs), local["
+        + os.environ.get("SPARK_GRAFT_CPUS", "32")
+        + "]"
+        + (f" — SUBSET {len(names)}/{len(BENCH_QUERIES)}" if only else "")
+    )
+    cpu_total = round(sum(cpu_timings.values()), 3)
+    full = json.dumps(
         {
-            # a subset run must not be mistakable for the full-suite
-            # headline artifact
-            "metric": f"headline query wall-clock (noop sink, min of {N_RUNS} runs), local["
-            + os.environ.get("SPARK_GRAFT_CPUS", "32")
-            + "]"
-            + (
-                f" — SUBSET {len(names)}/{len(BENCH_QUERIES)}"
-                if only
-                else ""
-            ),
+            "metric": metric,
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            "cpu_queries": cpu_timings,
+            "sf": sf,
+        }
+    )
+    # the LAST stdout line is a compact summary that fits any tail-capture
+    # window (the full per-query line above it is ~2.7 KB at 70+ entries
+    # and was truncated mid-dict by the driver two rounds running)
+    compact = json.dumps(
+        {
+            "metric": metric,
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n": len(timings),
+            "cpu_value": cpu_total,
             "sf": sf,
         }
     )
     # stop the session BEFORE printing: nothing (JVM teardown lines, late
     # log events) can land on the stream after the JSON, so a tail capture
-    # of stdout always ends with the one parseable line. A teardown
+    # of stdout always ends with the compact parseable line. A teardown
     # failure must not cost the artifact — the measurements are already
     # in hand and stop()'s success is irrelevant to them.
     try:
@@ -292,7 +378,8 @@ def main() -> None:
     except Exception as exc:
         print(f"[bench] spark.stop() failed: {exc}", file=sys.stderr)
     sys.stdout.flush()
-    print(result, flush=True)
+    print(full, flush=True)
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

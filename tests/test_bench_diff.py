@@ -1,0 +1,66 @@
+"""tools/bench_diff.py gate semantics — especially the round-6 CPU gate:
+wall inflation with flat CPU is box contention, not a regression."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "bench_diff.py",
+)
+
+
+def _art(path, queries, cpu=None):
+    art = {"metric": "m", "value": sum(queries.values()), "unit": "sec",
+           "queries": queries, "sf": 0.1}
+    if cpu is not None:
+        art["cpu_queries"] = cpu
+    with open(path, "w") as f:
+        json.dump(art, f)
+    return str(path)
+
+
+def _run(*argv):
+    return subprocess.run(
+        [sys.executable, TOOL, *argv], capture_output=True, text=True
+    )
+
+
+def test_wall_regression_with_flat_cpu_is_not_fatal(tmp_path):
+    old = _art(tmp_path / "o.json", {"q": 2.0}, {"q": 8.0})
+    new = _art(tmp_path / "n.json", {"q": 7.0}, {"q": 8.2})  # steal shape
+    r = _run(old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK: no cpu regression" in r.stdout
+
+
+def test_cpu_regression_is_fatal(tmp_path):
+    old = _art(tmp_path / "o.json", {"q": 2.0}, {"q": 8.0})
+    new = _art(tmp_path / "n.json", {"q": 3.5}, {"q": 16.0})
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "REGRESSION" in r.stdout
+
+
+def test_wall_gate_when_cpu_missing(tmp_path):
+    # pre-round-6 artifacts have no cpu_queries — the old wall gate holds
+    old = _art(tmp_path / "o.json", {"q": 2.0})
+    new = _art(tmp_path / "n.json", {"q": 7.0})
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "wall" in r.stdout
+    ok = _run(old, _art(tmp_path / "n2.json", {"q": 2.2}))
+    assert ok.returncode == 0
+
+
+def test_noise_floor_still_applies_to_cpu(tmp_path):
+    # 2x CPU ratio but only +0.3 s absolute — under the floor, not fatal
+    old = _art(tmp_path / "o.json", {"q": 0.2}, {"q": 0.3})
+    new = _art(tmp_path / "n.json", {"q": 0.4}, {"q": 0.6})
+    r = _run(old, new)
+    assert r.returncode == 0
+    assert "noise floor" in r.stdout

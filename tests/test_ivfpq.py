@@ -174,3 +174,30 @@ def test_probe_candidates_bounded_by_probed_lists(spark, emb, queries):
     member = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
     for r in out.collect():
         assert (r["query_id"], member[r["neighbor_id"]]) in probed
+
+
+def test_train_np_empty_training_set_raises_clearly(spark):
+    """Round-5 advisory: a 0-row training set must fail with a clear
+    ValueError, not an opaque numpy IndexError from the seed slice."""
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivfpq_train_np(empty, n_lists=2, n_sub=2, k_codes=2, sub_dim=2)
+    with pytest.raises(ValueError, match="empty"):
+        sim.lloyd_np([], [(0, 2, 2)], n_iter=1)
+
+
+def test_dir_has_parquet_is_fs_api_backed(spark, tmp_path):
+    """Round-5 advisory: the empty-index guard must go through the Hadoop
+    FileSystem API (FS-agnostic), not os.walk — exercised here via an
+    explicit file: URI, the same code path any hdfs://, s3a:// scheme
+    takes. Metadata (`_`/`.`-prefixed components) must not count."""
+    root = tmp_path / "idx"
+    (root / "_centroids").mkdir(parents=True)
+    (root / "_centroids" / "part-0.parquet").write_bytes(b"x")
+    uri = f"file://{root}"
+    assert sim._dir_has_parquet(spark, uri) is False          # metadata only
+    assert sim._dir_has_parquet(spark, uri + "/nope") is False  # missing
+    (root / "list_id=0").mkdir()
+    (root / "list_id=0" / "part-0.parquet").write_bytes(b"x")
+    assert sim._dir_has_parquet(spark, uri) is True
+    assert sim._dir_has_parquet(spark, str(root)) is True     # schemeless too

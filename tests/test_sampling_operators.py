@@ -110,3 +110,32 @@ def test_temperature_resample_flattens_mixture(spark):
         map(tuple, again.collect())
     )
     out.unpersist()
+
+
+def test_temperature_resample_null_group_is_a_real_group(spark):
+    """NULL-source docs count into the normalizer, so they must also be
+    resampled (null-safe rate join) — a plain equi-join would vanish
+    them while undershooting the realized total (round-5 advisory)."""
+    from weather_data_pipeline_sv_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, None) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", alpha=0.3).cache()
+    got = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    # the null group survives and is up-sampled like any rare source
+    assert None in got and got[None] > 16
+    n, z = 416, 400 ** 0.3 + 16 ** 0.3
+    assert abs(got[None] - n * (16 ** 0.3) / z) <= 16
+    assert abs(got["big"] - n * (400 ** 0.3) / z) <= 400
+    # realized total tracks N (no silent mass loss to the null group)
+    assert abs(sum(got.values()) - n) <= n * 0.1
+    out.unpersist()

@@ -669,7 +669,7 @@ _SMP6_ALPHA = 0.3
              CAST(floor(r.rate)
                   + CASE WHEN d.u < {rnd_sql('r.rate - floor(r.rate)', 9)}
                          THEN 1 ELSE 0 END AS BIGINT) AS copies
-      FROM d JOIN r USING (source)
+      FROM d JOIN r ON d.source IS NOT DISTINCT FROM r.source
     )
     SELECT k.doc_id, k.source, CAST(g.i AS BIGINT) AS copy_idx
     FROM k, unnest(generate_series(1, k.copies)) AS g(i)

@@ -1900,3 +1900,98 @@ def v16_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train=train,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# V17 — IVFADC retrieval quality (round-5 verdict #1): recall@k of v16's
+# compressed, probe-pruned answer against the EXACT cosine top-k (v1).
+# The v16 speedup (4–6.5× over exhaustive ADC at the scale dirs) is only
+# half a result without the number this entry measures: what sampled
+# training + 8-byte PQ codes + n_probe/n_lists pruning cost in retrieval
+# quality. Same composition shape as v11 (flat-IVF recall); the oracle
+# replays the ENTIRE v16 chain as CTEs, derives the exact truth, and
+# aggregates hits — so the recall number itself is hash-checked, not
+# just the rankings it is derived from. The recall-vs-n_probe curve at
+# the 300k-vector dir is measured by tools/v17_recall_curve.py and
+# recorded in SCALE.md next to the v16 speed numbers.
+# ---------------------------------------------------------------------------
+@register(
+    "v17_ivfpq_recall",
+    oracle=f"""
+    WITH {_duck_pq_prefix(train_src="vt", extra=_V16_EXTRA)},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+             emb AS centroid
+      FROM vt ORDER BY vec_id LIMIT {_N_LISTS}
+    ),
+    {_duck_assign('a0', 'c0', table='vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', table='vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT v.vec_id AS query_id, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {rnd_sql(_D2.format(dim=_DIM, a='v.emb', b='c.centroid'), 9)} ASC,
+                          c.list_id ASC) AS rn
+        FROM v CROSS JOIN c2 c WHERE v.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_N_PROBE}
+    ),
+    {_duck_pq_dts()},
+    pairs AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_SUM} AS adc
+      FROM probes p
+      JOIN assigned x ON x.list_id = p.list_id AND x.vec_id <> p.query_id
+      {_V16_DT_JOINS}
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC) AS rank
+        FROM pairs
+      ) WHERE rank <= {_TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {rnd_sql("list_dot_product(q.emb, c.emb) / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb)))", 6)} DESC,
+                          c.vec_id ASC) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rank <= {_TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS INTEGER) AS n_hit,
+           floor((count(a.neighbor_id) * 1.0 / {_TOP_K}) * 10000.0 + 0.5 + 1e-6) / 10000.0
+             AS recall_at_k
+    FROM truth t
+    LEFT JOIN ann a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def v17_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = v1_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = v16_ivfpq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    hit = F.count(F.col("a_neighbor"))
+    return (
+        truth.join(
+            ann,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            hit.cast("int").alias("n_hit"),
+            rnd(hit * 1.0 / _TOP_K, 4).alias("recall_at_k"),
+        )
+    )

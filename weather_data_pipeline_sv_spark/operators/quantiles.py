@@ -19,8 +19,11 @@ histogram + cumulative sum:
    ``quantile_cont``, which the builtin already hash-matches).
 
 No driver collect, no global sort, no single-buffer map. The reference
-(src/transformation/aggregation SQL percentiles) computes the same
-continuous quantiles via ``percentile_cont`` on Postgres.
+pipeline computes no percentiles (its aggregations are avg/min/max/count
+grain rollups); this operator exists on its own terms as the
+bounded-state twin of Spark's builtin ``percentile`` — parity is proven
+against the builtin and against DuckDB ``quantile_cont`` (the a18
+oracle), not against the reference.
 """
 
 from __future__ import annotations

@@ -74,6 +74,13 @@ def temperature_resample(
     9 dp (the repo's comparison rule) before floor/threshold use; the
     hash variate is an exact dyadic rational.
 
+    A NULL group key is a real group: ``groupBy`` counts it into
+    ``__total``/``__z``, so the rate join-back must be NULL-SAFE
+    (``eqNullSafe`` here, ``IS NOT DISTINCT FROM`` in the oracle) — a
+    plain equi-join would silently drop null-source docs while their
+    count still inflated the normalizer, undershooting the realized
+    total (round-5 advisory).
+
     Scale shape: one partial-aggregating count per group (output rows =
     |groups|, tiny), the per-group rate broadcast-joined back, and a
     map-side sequence() explode bounded by ceil(max rate) — no shuffle
@@ -84,14 +91,16 @@ def temperature_resample(
         F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z"),
     )
     rates = counts.crossJoin(F.broadcast(tot)).select(
-        group_col,
+        F.col(group_col).alias("__g"),
         rnd(
             F.pow(F.col("__n").cast("double"), F.lit(alpha))
             / F.col("__z") * F.col("__total") / F.col("__n").cast("double"),
             9,
         ).alias("__rate"),
     )
-    j = df.join(F.broadcast(rates), group_col)
+    j = df.join(
+        F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("__g"))
+    ).drop("__g")
     u = hash_uniform(F.col(key_col), salt)
     copies = (
         F.floor(F.col("__rate"))
@@ -106,6 +115,7 @@ def temperature_resample(
             F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))),
         )
         .drop("__rate", "__copies")
+        .select(*df.columns, "copy_idx")
     )
 
 

@@ -773,24 +773,35 @@ def write_ivf_index(
     return cents
 
 
-def _dir_has_parquet(path: str) -> bool:
-    """True iff the local directory tree holds at least one parquet data
-    file. An incremental VectorStore whose only published batches are
-    EMPTY (file-less ``batch_id=`` dirs) has readable state semantics
-    (no vectors yet) but no inferable parquet schema — probes must treat
-    it as an empty index rather than crash. Walks with Spark's
-    visibility rule (``_``/``.``-prefixed entries are metadata, e.g. the
-    ``_centroids`` side table, and don't count as index data). Local-FS
-    walk: the stores this guards are local-path-backed; a remote-FS
-    index written by ``write_ivf*_index`` always contains data files."""
-    import os
+def _dir_has_parquet(spark: SparkSession, path: str) -> bool:
+    """True iff the directory tree holds at least one parquet data file.
+    An incremental VectorStore whose only published batches are EMPTY
+    (file-less ``batch_id=`` dirs) has readable state semantics (no
+    vectors yet) but no inferable parquet schema — probes must treat it
+    as an empty index rather than crash. Walks with Spark's visibility
+    rule (``_``/``.``-prefixed path components are metadata, e.g. the
+    ``_centroids`` side table, and don't count as index data).
 
-    for _root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        if any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in files
-        ):
+    Uses the Hadoop FileSystem API (like ``sources/writers.py``'s
+    atomic-rename pattern) so the guard is FS-agnostic: an ``hdfs://`` /
+    ``s3a://`` index probes its files the same as a local one — an
+    ``os.walk`` here would silently report a valid remote index as
+    empty, turning a wrong config into a wrong ANSWER."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath().toUri().getPath()
+        rel = p[len(root):].lstrip("/") if p.startswith(root) else p
+        parts = rel.split("/")
+        if any(seg.startswith(("_", ".")) for seg in parts[:-1]):
+            continue
+        name = parts[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
             return True
     return False
 
@@ -806,7 +817,7 @@ def probe_ivf_index(
     scan with ``list_id isin(probe lists)`` — a partition filter, so only
     the probed directories are read (assert via
     ``tests/test_ivf_index.py``'s pruning check)."""
-    if not _dir_has_parquet(path):
+    if not _dir_has_parquet(spark, path):
         return spark.createDataFrame(
             [],
             f"{query_id_col} long, neighbor_id long, cosine double, rank int",
@@ -1145,6 +1156,10 @@ def lloyd_np(
     rounds at 9 dp first)."""
     import numpy as np
 
+    if not rows:
+        raise ValueError(
+            "lloyd_np: empty training sample — cannot seed codebooks."
+        )
     E = np.asarray([[float(x) for x in v] for _, v in rows], dtype=np.float64)
     books = [E[:k, off : off + width].copy() for off, width, k in specs]
     for _ in range(n_iter):
@@ -1190,6 +1205,13 @@ def ivfpq_train_np(
             f"ivfpq_train_np collects the training set and it exceeds "
             f"max_rows={max_rows}; pass a sample (the catalog-v16 stride) "
             f"or use the distributed ivfpq_train."
+        )
+    if probed == 0:
+        # without this, lloyd_np's seed slice on a 0-row sample dies with
+        # an opaque numpy IndexError (np.asarray([]) is 1-D)
+        raise ValueError(
+            "ivfpq_train_np: training set is empty — IVFADC needs at "
+            "least one training vector to seed the coarse/PQ codebooks."
         )
     rows = [
         (r[id_col], r[vec_col])
@@ -1425,7 +1447,7 @@ def probe_ivfpq_index(
     code-table scan partition-prunes at planning time — a probe reads
     n_probe/n_lists of the compressed files, never the corpus (pinned in
     tests/test_ivfpq.py)."""
-    if not _dir_has_parquet(path):
+    if not _dir_has_parquet(spark, path):
         return spark.createDataFrame(
             [],
             f"{query_id_col} long, neighbor_id long, adc_dist double, "
