@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "smp6_temperature_mix",
     # round-6 additions
     "v17_ivfpq_recall",
+    "t16_bpe_train",
+    "t17_bpe_encode",
 ]
 
 

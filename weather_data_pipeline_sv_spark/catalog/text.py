@@ -2252,3 +2252,138 @@ def d9_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T16/T17 — BPE tokenizer training + encoding (operators/bpe.py): the
+# round-6 close of the tokenizer boundary. Training is the Lloyd-style
+# iterative loop (distributed pair counts, 1-row argmax collect per
+# merge, loop_cache-pinned state); the oracle UNROLLS the identical loop
+# as a materialized-CTE chain (MATERIALIZED is load-bearing: each state
+# CTE has two consumers, and DuckDB would otherwise inline/recompute the
+# chain exponentially). Sentinel-wrapped symbol strings make the merge a
+# literal replace() with identical greedy left-to-right semantics in
+# both engines — see operators/bpe.py for the full argument.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 24
+
+
+def _duck_bpe_wrap(expr: str) -> str:
+    return f"regexp_replace({expr}, '(.)', chr(1)||'\\1'||chr(2), 'g')"
+
+
+def _duck_bpe_ctes(n_merges: int) -> str:
+    """The unrolled training chain: wf -> w0 -> (p_i, m_i, w_i)* ->
+    merges. Mirrors bpe_train step for step."""
+    parts = [
+        """wf AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS word
+        FROM documents
+      )
+      WHERE length(word) > 0
+        AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+      GROUP BY word
+    )""",
+        f"""w0 AS MATERIALIZED (
+      SELECT freq, {_duck_bpe_wrap('word')} AS sym FROM wf
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT t.syms[u.i] AS a, t.syms[u.i + 1] AS b,
+             CAST(sum(t.freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               string_split(substr(sym, 2, length(sym) - 2),
+                            chr(2)||chr(1)) AS syms
+        FROM w{i - 1} WHERE length(sym) > 0
+      ) t, unnest(generate_series(1, len(t.syms) - 1)) AS u(i)
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""m{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    )""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+      SELECT freq,
+             replace(sym,
+                     (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM m{i}),
+                     (SELECT chr(1)||a||b||chr(2) FROM m{i})) AS sym
+      FROM w{i - 1}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, a AS left_sym, b AS right_sym, "
+        f"a||b AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"merges AS ({union})")
+    return ",\n    ".join(parts)
+
+
+def _duck_bpe_encode_expr(n_merges: int) -> str:
+    s = _duck_bpe_wrap("word")
+    for i in range(1, n_merges + 1):
+        s = (
+            f"replace({s},\n"
+            f"          (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) "
+            f"FROM m{i}),\n"
+            f"          (SELECT chr(1)||a||b||chr(2) FROM m{i}))"
+        )
+    return s
+
+
+@register(
+    "t16_bpe_train",
+    oracle=f"""
+    WITH {_duck_bpe_ctes(_BPE_MERGES)}
+    SELECT CAST(step AS INTEGER) AS step, left_sym, right_sym, merged,
+           pair_count
+    FROM merges
+    """,
+)
+def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train, word_frequencies
+
+    d = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    )
+    merges = bpe_train(word_frequencies(d), _BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
+
+
+@register(
+    "t17_bpe_encode",
+    oracle=f"""
+    WITH {_duck_bpe_ctes(_BPE_MERGES)},
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS word
+        FROM documents
+      )
+      WHERE length(word) > 0
+        AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+    ),
+    enc AS (
+      SELECT doc_id, {_duck_bpe_encode_expr(_BPE_MERGES)} AS s FROM dw
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+    """,
+)
+def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_counts, bpe_train, word_frequencies
+
+    d = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    )
+    merges = bpe_train(word_frequencies(d), _BPE_MERGES)
+    return bpe_token_counts(d, merges)
