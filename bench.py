@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "v17_ivfpq_recall",
     "t16_bpe_train",
     "t17_bpe_encode",
+    "v18_ivfpq_rerank",
+    "t18_hll_distinct",
 ]
 
 

@@ -2387,3 +2387,79 @@ def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = bpe_train(word_frequencies(d), _BPE_MERGES)
     return bpe_token_counts(d, merges)
+
+
+# ---------------------------------------------------------------------------
+# T18 — per-source distinct 3-gram (shingle) count via engine-mirrored
+# HyperLogLog (operators/sketches.py): exact count(distinct shingle)
+# shuffles every distinct value (billions of rows per group at 100 TB);
+# the HLL register table is bounded at groups x 1024 rows BY DESIGN.
+# Spark's builtin approx_count_distinct is an HLL too but
+# engine-private — this one is md5-derived, so DuckDB reproduces the
+# registers bit-for-bit and the ESTIMATE itself is hash-checked (est,
+# exact, and relative error all in the oracle). p=10 -> standard error
+# 3.25%. Shingles, not words: ~10.8k distinct per source at sf0.1
+# exercises the HLL estimator proper; the smaller dirs land in the
+# linear-counting branch — both correction regimes are hash-checked.
+# ---------------------------------------------------------------------------
+_HLL_P = 10
+
+from ..operators.sketches import duck_hll_sql as _duck_hll_sql  # noqa: E402
+
+
+@register(
+    "t18_hll_distinct",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, {_DUCK_TOKENS} AS tokens FROM documents
+    ),
+    flt AS (
+      SELECT source, tokens[i] || ' ' || tokens[i + 1] || ' ' ||
+             tokens[i + 2] AS shingle
+      FROM tk, unnest(generate_series(1, len(tokens) - 2)) AS u(i)
+    ),
+    {_duck_hll_sql('SELECT source, shingle FROM flt', ['source'], 'shingle', _HLL_P).strip()},
+    ex AS (
+      SELECT source,
+             CAST(count(DISTINCT shingle) AS BIGINT) AS exact_distinct
+      FROM flt GROUP BY source
+    )
+    SELECT h.source, {rnd_sql('h.est', 6)} AS est_distinct,
+           ex.exact_distinct,
+           {rnd_sql('abs(h.est - ex.exact_distinct) / ex.exact_distinct', 4)}
+             AS rel_err
+    FROM hll_est h JOIN ex ON h.source IS NOT DISTINCT FROM ex.source
+    """,
+)
+def t18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct
+
+    shingles = (
+        ensure_min_parallelism(
+            load_tables(spark, sf_dir, "documents")["documents"]
+        )
+        .withColumn("tokens", F.expr(_SPARK_TOKENS))
+        .filter(F.size("tokens") >= 3)
+        .select(
+            "source",
+            F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"),
+        )
+    )
+    est = hll_distinct(shingles, ["source"], "shingle", p=_HLL_P)
+    exact = shingles.groupBy("source").agg(
+        F.countDistinct("shingle").alias("exact_distinct")
+    )
+    return (
+        est.withColumnRenamed("source", "__s")
+        .join(exact, F.col("__s").eqNullSafe(F.col("source")))
+        .select(
+            "source",
+            "est_distinct",
+            "exact_distinct",
+            rnd(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

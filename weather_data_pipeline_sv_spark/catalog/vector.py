@@ -1995,3 +1995,113 @@ def v17_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(hit * 1.0 / _TOP_K, 4).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V18 — IVFPQ with exact re-ranking (the FAISS "refine" composition):
+# ADC ranks a SHORTLIST of R = 20k candidates inside the probed lists
+# (compressed reads only), then exactly re-ranks the shortlist by true
+# cosine — R full vectors fetched per query instead of the corpus. This
+# is the standard production answer when PQ code fidelity binds (the
+# round-6 recall measurement: on the 300k dir code error, not routing,
+# costs nearly all the recall — flat-IVF probe-1 scores 1.0 while ADC
+# scores ≤0.12 at any n_probe; rerank recall == shortlist coverage,
+# measured in RECALL_V17.json). Shuffle shape: v16's probe join + one
+# broadcast-shortlist equi-join back to the corpus — per-query cost R,
+# a constant, at any corpus size.
+# ---------------------------------------------------------------------------
+_RERANK_R = 20 * _TOP_K
+
+
+@register(
+    "v18_ivfpq_rerank",
+    oracle=f"""
+    WITH {_duck_pq_prefix(train_src="vt", extra=_V16_EXTRA)},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+             emb AS centroid
+      FROM vt ORDER BY vec_id LIMIT {_N_LISTS}
+    ),
+    {_duck_assign('a0', 'c0', table='vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', table='vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT v.vec_id AS query_id, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {rnd_sql(_D2.format(dim=_DIM, a='v.emb', b='c.centroid'), 9)} ASC,
+                          c.list_id ASC) AS rn
+        FROM v CROSS JOIN c2 c WHERE v.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_N_PROBE}
+    ),
+    {_duck_pq_dts()},
+    adc_pairs AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_SUM} AS adc
+      FROM probes p
+      JOIN assigned x ON x.list_id = p.list_id AND x.vec_id <> p.query_id
+      {_V16_DT_JOINS}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC) AS rank
+        FROM adc_pairs
+      ) WHERE rank <= {_RERANK_R}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM shortlist s
+      JOIN v q ON q.vec_id = s.query_id
+      JOIN v c ON c.vec_id = s.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('cos', 6)} DESC, neighbor_id ASC)
+               AS INTEGER) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, {rnd_sql('cos', 4)} AS cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def v18_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _corpus_and_queries(spark, sf_dir)
+    m = max(1, _dense_count(emb) // _V16_TRAIN)
+    train = emb.filter(F.col("vec_id") % m == 0)
+    shortlist = sim.ivfpq_topk(
+        emb, q, k=_RERANK_R,
+        n_lists=_N_LISTS, n_probe=_N_PROBE,
+        n_sub=_PQ_SUB, k_codes=_PQ_K, sub_dim=_PQ_SUBDIM, n_iter=2,
+        train=train,
+    ).select("query_id", "neighbor_id")
+    # exact re-rank: per-query cost is the CONSTANT R, never the corpus —
+    # shortlist and queries broadcast, the corpus is probed by equi-join
+    rer = (
+        F.broadcast(shortlist)
+        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qemb"), F.col("emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", rnd("cos", 4).alias("cosine"), "rank"
+        )
+    )

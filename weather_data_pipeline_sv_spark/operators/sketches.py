@@ -1,0 +1,159 @@
+"""Deterministic, engine-mirrored cardinality sketches (HyperLogLog).
+
+Why: per-group distinct counts (vocabulary size per source, unique users
+per day) are a profiling staple, but exact ``count(distinct x)`` shuffles
+every distinct value — at 100 TB the distinct-word table alone is
+hundreds of millions of rows per group. Spark's builtin
+``approx_count_distinct`` IS an HLL, but its hash (xxhash64-based) and
+register layout are engine-private: nothing can oracle-check it, and a
+DuckDB/Trino consumer re-estimating the same data gets a different
+number. This module builds HLL (Flajolet et al. 2007) from the repo's
+standard md5-derived 32-bit hash, so the SAME estimate — bit-for-bit
+registers, 6-dp-rounded estimate — is reproducible in any engine with
+md5 and bin(), and the DuckDB oracle hash-checks it end to end.
+
+Register math is integer/dyadic on both sides, so no float drift can
+touch the registers:
+- h       = first 8 md5 hex digits as uint32 (the hash_uniform family);
+- reg     = h >> (32 - p)                      (top p bits);
+- rho     = (32 - p) - bit_length(tail) + 1    (leading-zero rank in the
+            remaining bits; bit_length via length(bin(tail)) — bin()
+            strips leading zeros in both engines; empty tail -> 33 - p);
+- per (group, reg): MAX(rho) — a partial-aggregating shuffle whose key
+  space is groups x m registers, BOUNDED BY DESIGN, never by data;
+- estimate: alpha_m * m^2 / (sum 2^-rho + zero registers), with the
+  standard small-range linear-counting correction m*ln(m/V). The 2^-rho
+  terms are dyadic rationals (exact in double, summation-order-free);
+  only the final division/ln are floats, rounded at 6 dp on both
+  engines (the t10/t15 ln precedent).
+
+Shuffle inventory: one partial-agg shuffle on (group, reg) carrying one
+combined row per key — max(rho) combines map-side — then a tiny
+per-group fold. Nothing scales with distinct count. Mergeability is the
+HLL property itself: registers from disjoint partitions/stores combine
+by element-wise max (tested), the sketch a 1000-executor rollup ships.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_register(item: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rho) for one item — integer-only math."""
+    h = F.conv(F.substring(F.md5(item.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    tail_bits = 32 - p
+    reg = F.shiftright(h, tail_bits)
+    tail = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    bitlen = F.when(tail > 0, F.length(F.bin(tail))).otherwise(F.lit(0))
+    rho = F.lit(tail_bits) - bitlen + F.lit(1)
+    return reg, rho
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], item_col: str, p: int = 10
+) -> DataFrame:
+    """(group..., reg, rho) register table — max(rho) per (group, reg).
+    This IS the sketch: mergeable across any partitioning by max."""
+    reg, rho = hll_register(F.col(item_col), p)
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Fold a register table to (group..., est_distinct)."""
+    m = 1 << p
+    alpha = _alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(alpha * m * m) / (F.col("s_present") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, rnd(est, 6).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], item_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HLL distinct estimate, one expression chain end to end."""
+    return hll_estimate(
+        hll_registers(df, group_cols, item_col, p), group_cols, p
+    )
+
+
+def hll_error_bound(p: int = 10) -> float:
+    """Standard error of the estimate: 1.04 / sqrt(m)."""
+    return 1.04 / math.sqrt(1 << p)
+
+
+def duck_hll_sql(
+    source_sql: str, group_cols: list[str], item_expr: str, p: int = 10
+) -> str:
+    """The identical estimate as a DuckDB CTE chain (oracle side).
+    ``source_sql`` must be a relation exposing group_cols + item_expr."""
+    m = 1 << p
+    alpha = _alpha(m)
+    tail_bits = 32 - p
+    mask = (1 << tail_bits) - 1
+    gcols = ", ".join(group_cols)
+    return f"""
+    hll_h AS (
+      SELECT {gcols},
+             CAST('0x' || substr(md5(CAST({item_expr} AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM ({source_sql})
+    ),
+    hll_reg AS (
+      SELECT {gcols}, h >> {tail_bits} AS reg,
+             {tail_bits} - CASE WHEN (h & {mask}) > 0
+                                THEN length(bin(h & {mask}))
+                                ELSE 0 END + 1 AS rho
+      FROM hll_h
+    ),
+    hll_max AS (
+      SELECT {gcols}, reg, max(rho) AS rho FROM hll_reg
+      GROUP BY {gcols}, reg
+    ),
+    hll_agg AS (
+      SELECT {gcols}, sum(pow(2.0, -rho)) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM hll_max GROUP BY {gcols}
+    ),
+    hll_est AS (
+      SELECT {gcols},
+             CASE WHEN ({alpha!r}::DOUBLE * {m} * {m}
+                        / (s_present + ({m} - n_present))) <= {2.5 * m}
+                       AND ({m} - n_present) > 0
+                  THEN {m}.0 * ln({m}.0 / ({m} - n_present))
+                  ELSE {alpha!r}::DOUBLE * {m} * {m}
+                       / (s_present + ({m} - n_present))
+             END AS est
+      FROM hll_agg
+    )"""
