@@ -261,7 +261,12 @@ def main() -> None:
             if best is None or dt < best:
                 best, best_cpu = dt, dc
         timings[name] = round(best, 3)
-        cpu_timings[name] = round(best_cpu, 3)
+        # a non-Linux /proc miss yields nan — record null, never emit the
+        # bare NaN literal json.dumps would produce (invalid JSON, and the
+        # driver's parser is exactly what the two-line contract protects)
+        cpu_timings[name] = (
+            round(best_cpu, 3) if best_cpu == best_cpu else None
+        )
         # liveness/progress to STDERR only: stdout must carry nothing but
         # the final JSON line (the driver tail-captures stdout and parses
         # the last line — BENCH_r04.json came back "parsed": null when
@@ -348,7 +353,9 @@ def main() -> None:
         + "]"
         + (f" — SUBSET {len(names)}/{len(BENCH_QUERIES)}" if only else "")
     )
-    cpu_total = round(sum(cpu_timings.values()), 3)
+    cpu_total = round(
+        sum(v for v in cpu_timings.values() if v is not None), 3
+    )
     full = json.dumps(
         {
             "metric": metric,

@@ -123,7 +123,9 @@ def main() -> int:
         elif ratio > args.threshold:
             flag = "  (ratio breach under noise floor)"
         if g is None and gate_cpu:
-            flag += "  [no cpu sample — wall ratio shown, not gated]"
+            # no CPU sample for this entry: fall back to gating its wall
+            # time (conservative — still protected, just noisier)
+            flag += "  [no cpu sample — wall-gated]"
         line = f"{name:<34} {wo:>9.3f} {wn:>9.3f}"
         if have_cpu:
             line += (

@@ -69,13 +69,12 @@ def lifecycle(spark, sf_dir: str, base_dir: str) -> dict:
         fn()
         dt = time.perf_counter() - t0
         b = _du(root)
+        delta = b - prev_bytes
         phases.append(
-            {"phase": name, "wall_s": round(dt, 2),
-             "bytes_written": b - prev_bytes}
+            {"phase": name, "wall_s": round(dt, 2), "bytes_written": delta}
         )
         prev_bytes = b
-        print(f"[pipe5-split] {name}: {dt:.2f} s, "
-              f"+{(b - prev_bytes + (b - prev_bytes == 0) * 0):d} B "
+        print(f"[pipe5-split] {name}: {dt:.2f} s, +{delta} B "
               f"(total {b / 1e6:.1f} MB)", file=sys.stderr)
 
     try:

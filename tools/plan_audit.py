@@ -8,8 +8,12 @@ which run bounded driver-side jobs at build time — Lloyd-trained IVF
 (v10/v12) additionally derives its list count from a corpus count(),
 g1 sizes its kNN blocking the same way, the PQ family (v13/v14) Lloyd-
 trains its 8 sub-codebooks at build, pipe3 materializes its incremental
-state, and pipe4 both trains its fixed quantizer and replays its three
-store-building slices. Those jobs are the operators' own bounded setup
+state, pipe4 both trains its fixed quantizer and replays its three
+store-building slices, pipe5 replays the full store lifecycle, the
+IVFADC family (v16/v17/v18) runs its sampled joint training, and the
+BPE entries (t16/t17) run the 24-round merge-learning loop (per-round
+1-row argmax collects — the merges ARE the plan literals the returned
+DataFrame carries). Those jobs are the operators' own bounded setup
 (counts and k x dim collects), not result materialization.
 
 Counted features:
