@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "t17_bpe_encode",
     "v18_ivfpq_rerank",
     "t18_hll_distinct",
+    "t19_cms_heavy_hitters",
+    "smp7_weighted_sample",
 ]
 
 

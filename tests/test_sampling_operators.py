@@ -139,3 +139,42 @@ def test_temperature_resample_null_group_is_a_real_group(spark):
     # realized total tracks N (no silent mass loss to the null group)
     assert abs(sum(got.values()) - n) <= n * 0.1
     out.unpersist()
+
+
+def test_weighted_sample_without_replacement_properties(spark):
+    from weather_data_pipeline_sv_spark.operators.sampling import (
+        weighted_sample_without_replacement as wswr,
+    )
+
+    # two sources; within each, doc weights heavily skewed to low ids
+    rows = [(s * 1000 + i, f"src{s}", 1000 if i < 10 else 1)
+            for s in range(2) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = wswr(df, "source", "doc_id", "w", k=5).cache()
+    got = out.collect()
+    # exactly k per group, ranks 1..k
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    # heavy weights dominate: most sampled docs come from the 10
+    # heavy-weight ids (1000x weight, 10/200 of rows)
+    heavy = sum(1 for r in got if r["doc_id"] % 1000 < 10)
+    assert heavy >= 7  # of 10 total draws
+    # deterministic + partition stable
+    again = wswr(df.repartition(13), "source", "doc_id", "w", k=5)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    out.unpersist()
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from weather_data_pipeline_sv_spark.operators.sampling import (
+        weighted_sample_without_replacement as wswr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 0), (3, "a", -1), (4, "a", None)],
+        "doc_id long, source string, w long",
+    )
+    got = wswr(df, "source", "doc_id", "w", k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]

@@ -77,3 +77,60 @@ def test_register_table_is_bounded(spark):
     # 100k items, p=10 -> at most 1024 register rows
     regs = hll_registers(_items(spark, 100_000), ["g"], "x", p=10)
     assert regs.count() <= 1024
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+from weather_data_pipeline_sv_spark.operators.sketches import (  # noqa: E402
+    cms_estimate,
+    cms_table,
+)
+
+
+def _zipf_terms(spark):
+    # term-i appears ~1000/i times: clear heavy hitters + a long tail
+    rows = []
+    for i in range(1, 60):
+        rows += [(f"term{i}",)] * (1000 // i)
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_cms_overcount_only_and_tight_for_heavy_hitters(spark):
+    df = _zipf_terms(spark)
+    cms = cms_table(df, "term")
+    exact = df.groupBy("term").count()
+    est = cms_estimate(cms, exact.select("term"), "term")
+    rows = exact.join(est, "term").collect()
+    n = df.count()
+    for r in rows:
+        assert r["cms_est"] >= r["count"]          # one-sided error
+        # eps = e/width -> overcount bounded by ~eps*N (loose 3x slack)
+        assert r["cms_est"] - r["count"] <= 3 * 2.718 / 256 * n
+
+
+def test_cms_unseen_item_estimates_from_collisions_only(spark):
+    df = _zipf_terms(spark)
+    cms = cms_table(df, "term")
+    probe = spark.createDataFrame([("never-seen-term",)], "term string")
+    est = cms_estimate(cms, probe, "term").collect()[0]["cms_est"]
+    assert 0 <= est <= 3 * 2.718 / 256 * df.count()
+
+
+def test_cms_merges_by_sum(spark):
+    df = _zipf_terms(spark).withColumn(
+        "half", F.monotonically_increasing_id() % 2
+    )
+    a = cms_table(df.filter("half = 0"), "term")
+    b = cms_table(df.filter("half = 1"), "term")
+    merged = (
+        a.unionAll(b).groupBy("s", "b").agg(F.sum("c").alias("c"))
+    )
+    whole = cms_table(df, "term")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_table_bounded(spark):
+    assert cms_table(_zipf_terms(spark), "term").count() <= 4 * 256

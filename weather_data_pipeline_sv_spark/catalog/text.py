@@ -2463,3 +2463,127 @@ def t18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SMP7 — weighted sampling without replacement (Efraimidis–Spirakis
+# A-ES, operators/sampling.py): exactly k docs per source with inclusion
+# probability proportional to doc length — the "exactly k, weighted"
+# mixing primitive Bernoulli keep/drop (smp1/smp4) and unweighted
+# exact-k (smp2) can't express. Rank key ln(u)/w (monotone in u^(1/w)),
+# u the md5 variate shifted to (0,1], 9-dp-rounded with id tie-break —
+# the full ranking replayed by the oracle. One per-group top-k window,
+# state k per group.
+# ---------------------------------------------------------------------------
+_SMP7_K = 5
+
+
+@register(
+    "smp7_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             {rnd_sql(
+                 "ln((CAST('0x' || substr(md5('wsample' || ':' || "
+                 "CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1) / "
+                 "4294967296.0) / CAST(n_chars AS DOUBLE)", 9)} AS rk
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY rk DESC, doc_id ASC)
+               AS INTEGER) AS sample_rank
+      FROM w
+    )
+    SELECT doc_id, source, n_chars, sample_rank
+    FROM r WHERE sample_rank <= {_SMP7_K}
+    """,
+)
+def smp7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_without_replacement
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    out = weighted_sample_without_replacement(
+        d.select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", k=_SMP7_K,
+    )
+    return out.select("doc_id", "source", "n_chars", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# T19 — heavy-hitter frequencies via Count-Min sketch
+# (operators/sketches.py): estimate term counts from a 4x256-counter
+# table — bounded state at any vocabulary size, mergeable by SUM (the
+# linear-sketch property) — and compare against the exact counts of the
+# exact top-20 terms. Pure integer md5 math, so the counter table AND
+# every estimate hash-match in DuckDB; the overcount column exhibits the
+# one-sided error guarantee (est >= exact, always).
+# ---------------------------------------------------------------------------
+from ..operators.sketches import duck_cms_sql as _duck_cms_sql  # noqa: E402
+
+_CMS_TOPK = 20
+_CMS_W = 256
+
+
+@register(
+    "t19_cms_heavy_hitters",
+    oracle=f"""
+    WITH tk AS (
+      SELECT {_DUCK_TOKENS} AS tokens FROM documents
+    ),
+    toks AS (
+      SELECT term FROM (SELECT unnest(tokens) AS term FROM tk)
+      WHERE length(term) > 0
+    ),
+    {_duck_cms_sql('SELECT term FROM toks', 'term', width=_CMS_W).strip()},
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY term
+    ),
+    top AS (
+      SELECT term, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, term ASC LIMIT {_CMS_TOPK}
+    ),
+    pe AS (
+      SELECT t.term, s.s,
+             CAST('0x' || substr(md5(s.s || ':' || CAST(t.term AS VARCHAR)),
+                  1, 8) AS BIGINT) % {_CMS_W} AS b
+      FROM top t CROSS JOIN cms_salts s
+    ),
+    est AS (
+      SELECT pe.term, CAST(min(coalesce(m.c, 0)) AS BIGINT) AS cms_est
+      FROM pe LEFT JOIN cms m ON m.s = pe.s AND m.b = pe.b
+      GROUP BY pe.term
+    )
+    SELECT t.term, t.exact_cnt, e.cms_est,
+           e.cms_est - t.exact_cnt AS overcount
+    FROM top t JOIN est e USING (term)
+    """,
+)
+def t19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_estimate, cms_table
+
+    toks = (
+        ensure_min_parallelism(
+            load_tables(spark, sf_dir, "documents")["documents"]
+        )
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.length("term") > 0)
+    )
+    cms = cms_table(toks, "term", width=_CMS_W)
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = exact.orderBy(
+        F.desc("exact_cnt"), F.asc("term")
+    ).limit(_CMS_TOPK)
+    est = cms_estimate(cms, top.select("term"), "term", width=_CMS_W)
+    return top.join(est, "term").select(
+        "term", "exact_cnt", "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

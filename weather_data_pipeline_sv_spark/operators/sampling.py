@@ -12,7 +12,7 @@ Scale shape: all of it is a map-side filter/projection — zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
@@ -178,4 +178,47 @@ def split_column(
         F.when(u < test_frac, F.lit("test"))
         .when(u < test_frac + val_frac, F.lit("val"))
         .otherwise(F.lit("train"))
+    )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame, group_col: str, key_col: str, weight_col: str,
+    k: int, salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis–Spirakis 2006, the A-ES scheme — public method): each
+    row draws u ~ U(0,1] from its key and ranks by u^(1/w); the top-k
+    per group is a weighted sample without replacement, inclusion
+    probability proportional to weight within the draw sequence. The
+    mixture-building tool keep/drop Bernoulli mixing can't express:
+    "exactly k docs per source, longer/higher-quality docs
+    proportionally more likely".
+
+    Determinism & cross-engine parity: u is the md5 variate shifted to
+    (0, 1] — (h + 1) / 2^32, never 0, so ln(u) is finite — and the rank
+    key is ln(u)/w (monotone in u^(1/w) for w > 0, so the SAME sample,
+    but engine-exact-friendly), 9-dp-rounded before ordering with
+    key-asc tie-break: the ranking an oracle replays bit-for-bit.
+    Rows with NULL or non-positive weight are excluded (documented, both
+    engines).
+
+    Scale shape: one map-side projection + one per-group top-k window —
+    the single shuffle any per-group ranking needs, state k per group.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"),
+                           F.col(key_col).cast("string"))), 1, 8
+        ), 16, 10,
+    ).cast("bigint")
+    u = (h + 1) / F.lit(_TWO32)
+    rank_key = rnd(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(rank_key), F.asc(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wr", F.row_number().over(w))
+        .filter(F.col("__wr") <= k)
+        .withColumnRenamed("__wr", "sample_rank")
     )

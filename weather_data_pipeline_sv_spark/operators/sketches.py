@@ -157,3 +157,93 @@ def duck_hll_sql(
              END AS est
       FROM hll_agg
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# with state bounded at depth x width counters regardless of distinct
+# count, the heavy-hitter companion to the HLL above. Same determinism
+# rule: row hashes are md5-derived with per-row salts, so the counter
+# table and every estimate are bit-identical in any engine (pure integer
+# math — no float anywhere). Overcount-only guarantee: est >= exact
+# always; est <= exact + eps*N with prob 1-delta for width = e/eps,
+# depth = ln(1/delta).
+#
+# Shuffle inventory: building the table is one partial-agg shuffle on
+# (row, bucket) — key space depth x width BY DESIGN; lookups broadcast
+# the (tiny) probe set against the table.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(salt_col: Column, item: Column, width: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(salt_col, F.lit(":"), item.cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("bigint")
+    return h % width
+
+
+def cms_table(
+    df: DataFrame, item_col: str,
+    depth: int = 4, width: int = 256, salt: str = "cms",
+) -> DataFrame:
+    """(s, b, c): counter table — each item increments one bucket per
+    hash row. depth x width rows max, mergeable across partitions/
+    stores by (s, b) SUM (the linear-sketch property)."""
+    salts = F.array(*[F.lit(f"{salt}{i}") for i in range(depth)])
+    e = df.select(
+        F.col(item_col).alias("__item"), F.explode(salts).alias("s")
+    )
+    return (
+        e.select(
+            "s", _cms_bucket(F.col("s"), F.col("__item"), width).alias("b")
+        )
+        .groupBy("s", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, item_col: str,
+    depth: int = 4, width: int = 256, salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each probe item: est = min over the
+    depth rows of that item's bucket counter. Probes are broadcast (a
+    heavy-hitter candidate set is small by definition); missing buckets
+    count 0 (an item never seen estimates 0, not null)."""
+    salts = F.array(*[F.lit(f"{salt}{i}") for i in range(depth)])
+    pe = probes.select(
+        F.col(item_col), F.explode(salts).alias("s")
+    ).withColumn("b", _cms_bucket(F.col("s"), F.col(item_col), width))
+    joined = F.broadcast(pe).join(cms, ["s", "b"], "left")
+    return (
+        joined.groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
+    )
+
+
+def duck_cms_sql(
+    source_sql: str, item_expr: str,
+    depth: int = 4, width: int = 256, salt: str = "cms",
+) -> str:
+    """The identical sketch as DuckDB CTEs (oracle side): exposes
+    ``cms_salts(s)``, ``cms(s, b, c)``; estimates are composed by the
+    caller via the same md5-mod bucket expression."""
+    salt_list = ", ".join(f"'{salt}{i}'" for i in range(depth))
+    return f"""
+    cms_salts AS (SELECT unnest([{salt_list}]) AS s),
+    cms AS (
+      SELECT s,
+             CAST('0x' || substr(md5(s || ':' ||
+                  CAST({item_expr} AS VARCHAR)), 1, 8) AS BIGINT)
+               % {width} AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ({source_sql}) CROSS JOIN cms_salts
+      GROUP BY 1, 2
+    )"""
