@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "t18_hll_distinct",
     "t19_cms_heavy_hitters",
     "smp7_weighted_sample",
+    "t20_incremental_hll",
 ]
 
 

@@ -131,3 +131,22 @@ def test_token_count_expression(spark):
     )
     row = df.collect()[0]
     assert row["n"] == 5 and row["z"] == 0
+
+
+def test_train_np_matches_distributed(spark):
+    from weather_data_pipeline_sv_spark.operators.bpe import bpe_train_np
+
+    wf = _wf_df(spark, SENNRICH)
+    assert bpe_train_np(wf, 8) == bpe_train(wf, 8)
+    # runs-and-ties corpus too
+    wf2 = _wf_df(spark, {"aaaa": 1, "ab": 2, "ba": 2})
+    assert bpe_train_np(wf2, 3) == bpe_train(wf2, 3)
+
+
+def test_train_np_guard_and_exhaustion(spark):
+    from weather_data_pipeline_sv_spark.operators.bpe import bpe_train_np
+
+    with pytest.raises(ValueError, match="max_rows"):
+        bpe_train_np(_wf_df(spark, SENNRICH), 2, max_rows=2)
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train_np(_wf_df(spark, {"aa": 3}), 5)

@@ -2587,3 +2587,56 @@ def t19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", "exact_cnt", "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T20 — incremental sketch rollup ≡ batch (the pipe3-style theorem for
+# sketches): per-source HLL registers built INDEPENDENTLY over three
+# doc_id slices, merged by element-wise max, then folded to the
+# estimate. The oracle computes the ONE-SHOT whole-corpus estimate — a
+# hash match proves merge-of-slices ≡ batch exactly (the property that
+# lets 1000 executors, daily increments, or per-store sketches roll up
+# without ever rescanning history). Same item/grouping as t18.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_incremental_hll",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, {_DUCK_TOKENS} AS tokens FROM documents
+    ),
+    flt AS (
+      SELECT source, tokens[i] || ' ' || tokens[i + 1] || ' ' ||
+             tokens[i + 2] AS shingle
+      FROM tk, unnest(generate_series(1, len(tokens) - 2)) AS u(i)
+    ),
+    {_duck_hll_sql('SELECT source, shingle FROM flt', ['source'], 'shingle', _HLL_P).strip()}
+    SELECT source, {rnd_sql('est', 6)} AS est_distinct FROM hll_est
+    """,
+)
+def t20_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    base = (
+        ensure_min_parallelism(
+            load_tables(spark, sf_dir, "documents")["documents"]
+        )
+        .withColumn("tokens", F.expr(_SPARK_TOKENS))
+        .filter(F.size("tokens") >= 3)
+        .select(
+            "doc_id", "source",
+            F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"),
+        )
+    )
+    slices = [
+        base.filter(F.col("doc_id") % 3 == i).drop("doc_id")
+        for i in range(3)
+    ]
+    regs = [
+        hll_registers(sl, ["source"], "shingle", p=_HLL_P) for sl in slices
+    ]
+    merged = (
+        regs[0].unionAll(regs[1]).unionAll(regs[2])
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(merged, ["source"], p=_HLL_P)

@@ -210,3 +210,59 @@ def bpe_token_counts(
             F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+#: bpe_train_np refuses to collect a word-frequency table above this —
+#: same contract as similarity.IVFPQ_DRIVER_TRAIN_MAX_ROWS: the driver
+#: loop is for BOUNDED tables (after word_frequencies' corpus shuffle
+#: and a min_freq prune, the distinct-word table is classically tiny);
+#: bigger vocabularies use the distributed bpe_train.
+BPE_DRIVER_TRAIN_MAX_ROWS = 1_000_000
+
+
+def bpe_train_np(
+    words: DataFrame, n_merges: int,
+    word_col: str = "word", freq_col: str = "freq",
+    max_rows: int = BPE_DRIVER_TRAIN_MAX_ROWS,
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side :func:`bpe_train`: collect the (bounded) word table
+    once and run the merge loop in Python — BIT-IDENTICAL merges (same
+    representation, same greedy replace, same exact-integer counts and
+    (-count, pair) tie-break; pinned in tests/test_bpe.py) without the
+    per-round Spark job overhead, which dominates when the word table is
+    small (measured at data_sf1: 310 distinct words, 0.53 s/merge
+    distributed vs ~1 ms/merge here — the loop cost is scheduling, not
+    data). The corpus-scale work (word_frequencies) stays distributed.
+    """
+    probed = words.select(word_col).limit(max_rows + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"bpe_train_np collects the word table and it exceeds "
+            f"max_rows={max_rows}; prune with min_freq or use the "
+            "distributed bpe_train."
+        )
+    freqs = {
+        r[word_col]: int(r[freq_col])
+        for r in words.select(word_col, freq_col).collect()
+    }
+    state = {
+        w: ("".join(f"{SOT}{c}{EOT}" for c in w), f)
+        for w, f in freqs.items()
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in state.values():
+            toks = sym[1:-1].split(f"{EOT}{SOT}") if sym else []
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + f
+        if not counts:
+            raise ValueError(
+                f"bpe_train_np: vocabulary exhausted after {step - 1} "
+                f"merges (requested {n_merges})."
+            )
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, cnt))
+        pat, rep = merge_pattern(a, b)
+        state = {w: (s.replace(pat, rep), f) for w, (s, f) in state.items()}
+    return merges
