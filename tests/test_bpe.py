@@ -150,3 +150,18 @@ def test_train_np_guard_and_exhaustion(spark):
         bpe_train_np(_wf_df(spark, SENNRICH), 2, max_rows=2)
     with pytest.raises(ValueError, match="exhausted"):
         bpe_train_np(_wf_df(spark, {"aa": 3}), 5)
+
+
+def test_train_np_sums_duplicate_word_rows(spark):
+    """An ungrouped (word, freq) table must train exactly like the
+    distributed loop, which SUMS duplicate rows' frequencies — a dict
+    overwrite would keep only the last row (round-6 review finding)."""
+    from weather_data_pipeline_sv_spark.operators.bpe import bpe_train_np
+
+    dup = spark.createDataFrame(
+        [("low", 3), ("low", 2), ("newest", 6), ("widest", 3),
+         ("lower", 2)],
+        "word string, freq long",
+    )
+    assert bpe_train_np(dup, 6) == _py_train_full(SENNRICH, 6)
+    assert bpe_train_np(dup, 6) == bpe_train(dup, 6)

@@ -134,3 +134,28 @@ def test_cms_merges_by_sum(spark):
 
 def test_cms_table_bounded(spark):
     assert cms_table(_zipf_terms(spark), "term").count() <= 4 * 256
+
+
+def test_hll_ignores_null_items_like_count_distinct(spark):
+    base = _items(spark, 2_000)
+    with_nulls = base.unionAll(
+        spark.range(50).select(
+            F.lit(0).alias("g"), F.lit(None).cast("string").alias("x")
+        )
+    )
+    a = hll_distinct(base, ["g"], "x").collect()[0]["est_distinct"]
+    b = hll_distinct(with_nulls, ["g"], "x").collect()[0]["est_distinct"]
+    assert a == b  # NULLs are not items (count(distinct) semantics)
+
+
+def test_cms_estimate_broadcasts_the_counter_table(spark):
+    """The bounded side (depth x width counters) must be the build side;
+    a broadcast hint on the preserved side of the left join would be
+    silently ignored (round-6 review finding)."""
+    df = _zipf_terms(spark)
+    cms = cms_table(df, "term")
+    est = cms_estimate(cms, df.select("term").distinct(), "term")
+    plan = est._sc._jvm.PythonSQLUtils.explainString(
+        est._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan

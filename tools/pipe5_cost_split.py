@@ -124,11 +124,32 @@ def main() -> None:
     spark = get_spark(app_name="pipe5-cost-split")
     spark.sparkContext.setLogLevel("ERROR")
     runs = {}
+    # the "disk" store must really be on disk: the default tempdir
+    # (TMPDIR, often /tmp) is a tmpfs mount on many distros, which would
+    # silently turn the contrast into tmpfs-vs-tmpfs — anchor it next to
+    # the repo (the checkout is disk-backed) and RECORD each medium's
+    # filesystem type in the artifact so a reader can audit the premise
+    disk_base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def fstype(path: str) -> str:
+        dev_best, fs_best = "", "unknown"
+        try:
+            with open("/proc/mounts") as f:
+                for line in f:
+                    _dev, mnt, fs, *_ = line.split()
+                    if path.startswith(mnt) and len(mnt) > len(dev_best):
+                        dev_best, fs_best = mnt, fs
+        except OSError:
+            pass
+        return fs_best
+
     # warmup pass (JVM/codegen) against tmpfs, unrecorded
     lifecycle(spark, sf_dir, "/dev/shm")
-    for name, base in (("disk", None), ("tmpfs", "/dev/shm")):
+    for name, base in (("disk", disk_base), ("tmpfs", "/dev/shm")):
         runs[name] = lifecycle(spark, sf_dir, base)
-        print(f"[pipe5-split] {name}: {runs[name]['total_s']} s, "
+        runs[name]["fstype"] = fstype(base)
+        print(f"[pipe5-split] {name} ({runs[name]['fstype']}): "
+              f"{runs[name]['total_s']} s, "
               f"{runs[name]['total_bytes'] / 1e6:.1f} MB", file=sys.stderr)
     art = {
         "metric": (

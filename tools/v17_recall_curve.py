@@ -25,10 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from weather_data_pipeline_sv_spark.functions.rounding import rnd
 from weather_data_pipeline_sv_spark.operators import similarity as sim
 from weather_data_pipeline_sv_spark.session import get_spark
 
@@ -59,29 +57,12 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
 
-    # exact truth, v1 semantics
-    dot = F.zip_with("qemb", "emb", lambda a, b: a * b)
-    l2 = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    ))
-    pairs = (
-        F.broadcast(queries)
-        .join(emb, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            (
-                F.aggregate(dot, F.lit(0.0), lambda s, x: s + x)
-                / (l2(F.col("qemb")) * l2(F.col("emb")))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
-    )
+    # exact truth: the operator that IS the recall oracle (v1 semantics;
+    # a hand-rolled copy here would silently diverge if the operator's
+    # tie-break or rounding ever changed)
     truth = {
         (r["query_id"], r["neighbor_id"])
-        for r in pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        for r in sim.brute_force_topk(emb, queries, k=TOP_K)
         .select("query_id", "neighbor_id")
         .collect()
     }

@@ -2380,12 +2380,22 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import bpe_token_counts, bpe_train, word_frequencies
+    # trains via the DRIVER-SIDE twin (bit-identical merges, pinned in
+    # tests/test_bpe.py; ~58x cheaper at larger merge counts since the
+    # loop cost is per-round job scheduling) — t16 keeps the distributed
+    # loop under oracle check, this entry proves the production split:
+    # distributed word-count shuffle + driver merge loop + distributed
+    # full-corpus encode, hash-identical to the fully-distributed path
+    from ..operators.bpe import (
+        bpe_token_counts,
+        bpe_train_np,
+        word_frequencies,
+    )
 
     d = ensure_min_parallelism(
         load_tables(spark, sf_dir, "documents")["documents"]
     )
-    merges = bpe_train(word_frequencies(d), _BPE_MERGES)
+    merges = bpe_train_np(word_frequencies(d), _BPE_MERGES)
     return bpe_token_counts(d, merges)
 
 
@@ -2426,7 +2436,9 @@ from ..operators.sketches import duck_hll_sql as _duck_hll_sql  # noqa: E402
     )
     SELECT h.source, {rnd_sql('h.est', 6)} AS est_distinct,
            ex.exact_distinct,
-           {rnd_sql('abs(h.est - ex.exact_distinct) / ex.exact_distinct', 4)}
+           {rnd_sql(
+               f"abs(({rnd_sql('h.est', 6)}) - ex.exact_distinct)"
+               " / ex.exact_distinct", 4)}
              AS rel_err
     FROM hll_est h JOIN ex ON h.source IS NOT DISTINCT FROM ex.source
     """,

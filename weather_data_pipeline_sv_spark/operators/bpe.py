@@ -241,10 +241,12 @@ def bpe_train_np(
             f"max_rows={max_rows}; prune with min_freq or use the "
             "distributed bpe_train."
         )
-    freqs = {
-        r[word_col]: int(r[freq_col])
-        for r in words.select(word_col, freq_col).collect()
-    }
+    # sum duplicate word rows (an ungrouped table must behave exactly
+    # like the distributed loop's groupBy-weighted pair counts — a
+    # dict-comprehension overwrite would silently keep only the last row)
+    freqs: dict[str, int] = {}
+    for r in words.select(word_col, freq_col).collect():
+        freqs[r[word_col]] = freqs.get(r[word_col], 0) + int(r[freq_col])
     state = {
         w: ("".join(f"{SOT}{c}{EOT}" for c in w), f)
         for w, f in freqs.items()

@@ -71,10 +71,16 @@ def hll_registers(
     df: DataFrame, group_cols: list[str], item_col: str, p: int = 10
 ) -> DataFrame:
     """(group..., reg, rho) register table — max(rho) per (group, reg).
-    This IS the sketch: mergeable across any partitioning by max."""
+    This IS the sketch: mergeable across any partitioning by max.
+
+    NULL items are excluded, matching ``count(distinct x)`` (which
+    ignores NULLs) — without the filter, md5(NULL) rides through as a
+    phantom (reg=NULL, rho=tail_bits+1) register row that inflates the
+    estimate of every group containing a NULL."""
     reg, rho = hll_register(F.col(item_col), p)
     return (
-        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -128,7 +134,7 @@ def duck_hll_sql(
       SELECT {gcols},
              CAST('0x' || substr(md5(CAST({item_expr} AS VARCHAR)), 1, 8)
                   AS BIGINT) AS h
-      FROM ({source_sql})
+      FROM ({source_sql}) WHERE {item_expr} IS NOT NULL
     ),
     hll_reg AS (
       SELECT {gcols}, h >> {tail_bits} AS reg,
@@ -210,14 +216,17 @@ def cms_estimate(
     depth: int = 4, width: int = 256, salt: str = "cms",
 ) -> DataFrame:
     """Point-query the sketch for each probe item: est = min over the
-    depth rows of that item's bucket counter. Probes are broadcast (a
-    heavy-hitter candidate set is small by definition); missing buckets
-    count 0 (an item never seen estimates 0, not null)."""
+    depth rows of that item's bucket counter. The COUNTER TABLE is the
+    broadcast side — bounded at depth x width rows by design; hinting
+    the probes instead would be silently ignored, because the preserved
+    (left) side of a left-outer join can never be the hash build side.
+    Missing buckets count 0 (an item never seen estimates 0, not
+    null)."""
     salts = F.array(*[F.lit(f"{salt}{i}") for i in range(depth)])
     pe = probes.select(
         F.col(item_col), F.explode(salts).alias("s")
     ).withColumn("b", _cms_bucket(F.col("s"), F.col(item_col), width))
-    joined = F.broadcast(pe).join(cms, ["s", "b"], "left")
+    joined = pe.join(F.broadcast(cms), ["s", "b"], "left")
     return (
         joined.groupBy(item_col)
         .agg(
