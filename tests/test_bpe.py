@@ -165,3 +165,16 @@ def test_train_np_sums_duplicate_word_rows(spark):
     )
     assert bpe_train_np(dup, 6) == _py_train_full(SENNRICH, 6)
     assert bpe_train_np(dup, 6) == bpe_train(dup, 6)
+
+
+def test_train_auto_dispatches_and_falls_back(spark):
+    """bpe_train_auto: driver loop under the cap, DISTRIBUTED fallback
+    (not a hard failure) over it — both bit-identical (round-6 review:
+    t17 previously hard-failed on vocabularies over the collect
+    ceiling)."""
+    from weather_data_pipeline_sv_spark.operators.bpe import bpe_train_auto
+
+    wf = _wf_df(spark, SENNRICH)
+    expect = _py_train_full(SENNRICH, 6)
+    assert bpe_train_auto(wf, 6) == expect                 # np path
+    assert bpe_train_auto(wf, 6, max_rows=2) == expect     # fallback path

@@ -129,16 +129,29 @@ def main() -> None:
     # silently turn the contrast into tmpfs-vs-tmpfs — anchor it next to
     # the repo (the checkout is disk-backed) and RECORD each medium's
     # filesystem type in the artifact so a reader can audit the premise
-    disk_base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # prefer a repo-ADJACENT scratch dir (same filesystem, outside the
+    # checkout) so a SIGKILL mid-run can't leave a multi-hundred-MB
+    # store tree dirtying git status; fall back into the checkout only
+    # if the parent is not writable
+    parent = os.path.dirname(repo_root)
+    disk_base = parent if os.access(parent, os.W_OK) else repo_root
 
     def fstype(path: str) -> str:
-        dev_best, fs_best = "", "unknown"
+        """Longest mount-point match by PATH COMPONENT (a raw prefix
+        test would let /mnt/disk1 claim /mnt/disk10/...); /proc/mounts
+        octal-escapes spaces as \\040."""
+        best_mnt, fs_best = "", "unknown"
         try:
             with open("/proc/mounts") as f:
                 for line in f:
                     _dev, mnt, fs, *_ = line.split()
-                    if path.startswith(mnt) and len(mnt) > len(dev_best):
-                        dev_best, fs_best = mnt, fs
+                    mnt = mnt.replace("\\040", " ")
+                    if (
+                        path == mnt
+                        or path.startswith(mnt.rstrip("/") + "/")
+                    ) and len(mnt) > len(best_mnt):
+                        best_mnt, fs_best = mnt, fs
         except OSError:
             pass
         return fs_best

@@ -2380,22 +2380,24 @@ def t16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # trains via the DRIVER-SIDE twin (bit-identical merges, pinned in
-    # tests/test_bpe.py; ~58x cheaper at larger merge counts since the
-    # loop cost is per-round job scheduling) — t16 keeps the distributed
-    # loop under oracle check, this entry proves the production split:
-    # distributed word-count shuffle + driver merge loop + distributed
-    # full-corpus encode, hash-identical to the fully-distributed path
+    # trains via bpe_train_auto: the driver-side twin when the word
+    # table fits the collect ceiling (bit-identical merges, pinned in
+    # tests/test_bpe.py; ~58x cheaper since the loop cost is per-round
+    # job scheduling), falling back to the distributed loop on a
+    # too-big vocabulary instead of hard-failing — t16 keeps the
+    # distributed loop under oracle check, this entry proves the
+    # production split: distributed word-count shuffle + driver merge
+    # loop + distributed full-corpus encode, hash-identical either way
     from ..operators.bpe import (
         bpe_token_counts,
-        bpe_train_np,
+        bpe_train_auto,
         word_frequencies,
     )
 
     d = ensure_min_parallelism(
         load_tables(spark, sf_dir, "documents")["documents"]
     )
-    merges = bpe_train_np(word_frequencies(d), _BPE_MERGES)
+    merges = bpe_train_auto(word_frequencies(d), _BPE_MERGES)
     return bpe_token_counts(d, merges)
 
 

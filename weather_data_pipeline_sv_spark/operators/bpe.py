@@ -234,8 +234,11 @@ def bpe_train_np(
     distributed vs ~1 ms/merge here — the loop cost is scheduling, not
     data). The corpus-scale work (word_frequencies) stays distributed.
     """
-    probed = words.select(word_col).limit(max_rows + 1).count()
-    if probed > max_rows:
+    # ONE bounded collect serves as both the size probe and the data
+    # fetch — a separate limit().count() probe would execute the
+    # (typically corpus-scale, uncached) word_frequencies plan twice
+    rows = words.select(word_col, freq_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"bpe_train_np collects the word table and it exceeds "
             f"max_rows={max_rows}; prune with min_freq or use the "
@@ -245,7 +248,7 @@ def bpe_train_np(
     # like the distributed loop's groupBy-weighted pair counts — a
     # dict-comprehension overwrite would silently keep only the last row)
     freqs: dict[str, int] = {}
-    for r in words.select(word_col, freq_col).collect():
+    for r in rows:
         freqs[r[word_col]] = freqs.get(r[word_col], 0) + int(r[freq_col])
     state = {
         w: ("".join(f"{SOT}{c}{EOT}" for c in w), f)
@@ -268,3 +271,25 @@ def bpe_train_np(
         pat, rep = merge_pattern(a, b)
         state = {w: (s.replace(pat, rep), f) for w, (s, f) in state.items()}
     return merges
+
+
+def bpe_train_auto(
+    words: DataFrame, n_merges: int,
+    word_col: str = "word", freq_col: str = "freq",
+    max_rows: int = BPE_DRIVER_TRAIN_MAX_ROWS,
+) -> list[tuple[int, str, str, str, int]]:
+    """Dispatch between the driver loop and the distributed loop on the
+    word table's actual size — the caller-facing entry point: small
+    vocabularies (the classic case after word_frequencies' shuffle +
+    min_freq) get the ~58x-cheaper driver loop; a table over the
+    collect ceiling falls back to the distributed trainer instead of
+    hard-failing (the two paths produce bit-identical merges, pinned in
+    tests/test_bpe.py)."""
+    try:
+        return bpe_train_np(
+            words, n_merges, word_col, freq_col, max_rows=max_rows
+        )
+    except ValueError as exc:
+        if "max_rows" not in str(exc):
+            raise
+        return bpe_train(words, n_merges, word_col, freq_col)

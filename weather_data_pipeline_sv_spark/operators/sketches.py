@@ -76,7 +76,11 @@ def hll_registers(
     NULL items are excluded, matching ``count(distinct x)`` (which
     ignores NULLs) — without the filter, md5(NULL) rides through as a
     phantom (reg=NULL, rho=tail_bits+1) register row that inflates the
-    estimate of every group containing a NULL."""
+    estimate of every group containing a NULL. Consequence: a group
+    whose items are ALL NULL has no registers and therefore NO ROW in
+    the sketch or estimate output (where ``count(distinct)`` over a
+    grouped query would emit a 0) — left-join against your group table
+    if zero-rows matter."""
     reg, rho = hll_register(F.col(item_col), p)
     return (
         df.filter(F.col(item_col).isNotNull())
