@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "t19_cms_heavy_hitters",
     "smp7_weighted_sample",
     "t20_incremental_hll",
+    "pipe6_tokenized_corpus",
 ]
 
 

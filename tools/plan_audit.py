@@ -11,7 +11,7 @@ trains its 8 sub-codebooks at build, pipe3 materializes its incremental
 state, pipe4 both trains its fixed quantizer and replays its three
 store-building slices, pipe5 replays the full store lifecycle, the
 IVFADC family (v16/v17/v18) runs its sampled joint training, and the
-BPE entries (t16/t17) run the 24-round merge-learning loop (per-round
+BPE entries (t16/t17/pipe6) run the merge-learning loop (per-round
 1-row argmax collects — the merges ARE the plan literals the returned
 DataFrame carries). Those jobs are the operators' own bounded setup
 (counts and k x dim collects), not result materialization.

@@ -822,6 +822,37 @@ def t6_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.sampling import split_column as _split_column  # noqa: E402
 
 
+def _quality_kept(d: DataFrame) -> DataFrame:
+    """Stage 1 of the corpus pipelines — t5's exact quality rules
+    (shared by pipe1/pipe6; the oracles replicate it CTE-for-CTE)."""
+    total_len = F.expr(
+        "aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)"
+    )
+    mean_tok_len = total_len.cast("double") / F.col("n_tokens")
+    symbol_ratio = _symbol_count().cast("double") / F.length("text")
+    has_stopword = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b")
+    ) > 0
+    return d.filter(
+        F.col("n_tokens").between(5, 5000)
+        & mean_tok_len.between(2.0, 12.0)
+        & (symbol_ratio < 0.3)
+        & has_stopword
+    )
+
+
+def _exact_dedup_lowest_id(kept: DataFrame, cols: list[str]) -> DataFrame:
+    """Stage 2 — keep the lowest doc_id per content hash."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*cols)
+    )
+
+
 @register(
     "pipe1_training_data_pipeline",
     oracle=f"""
@@ -888,32 +919,9 @@ def pipe1_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_with_tokens(spark, sf_dir).filter(
         (F.length("text") > 0) & (F.col("n_tokens") > 0)
     )
-    # stage 1 — quality filter (t5's exact rules)
-    total_len = F.expr(
-        "aggregate(transform(tokens, t -> length(t)), 0, (acc, x) -> acc + x)"
-    )
-    mean_tok_len = total_len.cast("double") / F.col("n_tokens")
-    symbol_ratio = (
-        _symbol_count().cast("double")
-        / F.length("text")
-    )
-    has_stopword = F.regexp_count(
-        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b")
-    ) > 0
-    kept = d.filter(
-        F.col("n_tokens").between(5, 5000)
-        & mean_tok_len.between(2.0, 12.0)
-        & (symbol_ratio < 0.3)
-        & has_stopword
-    )
-    # stage 2 — exact dedup: keep the lowest doc_id per content hash
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = _quality_kept(d)
     uniq = (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "text", "n_tokens")
+        _exact_dedup_lowest_id(kept, ["doc_id", "lang", "text", "n_tokens"])
         # `uniq` heads two consumers (the shingle explode inside
         # jaccard_pairs and the survivor anti-join): materialize so the
         # quality-regex + window-dedup prefix computes once — the same
@@ -2272,15 +2280,17 @@ def _duck_bpe_wrap(expr: str) -> str:
     return f"regexp_replace({expr}, '(.)', chr(1)||'\\1'||chr(2), 'g')"
 
 
-def _duck_bpe_ctes(n_merges: int) -> str:
+def _duck_bpe_ctes(n_merges: int, docs_rel: str = "documents") -> str:
     """The unrolled training chain: wf -> w0 -> (p_i, m_i, w_i)* ->
-    merges. Mirrors bpe_train step for step."""
+    merges. Mirrors bpe_train step for step. ``docs_rel`` points the
+    trainer at any relation exposing ``text`` (pipe6 trains on quality
+    survivors)."""
     parts = [
-        """wf AS MATERIALIZED (
+        f"""wf AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
                  AS word
-        FROM documents
+        FROM {docs_rel}
       )
       WHERE length(word) > 0
         AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
@@ -2654,3 +2664,127 @@ def t20_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("rho"))
     )
     return hll_estimate(merged, ["source"], p=_HLL_P)
+
+
+# ---------------------------------------------------------------------------
+# PIPE6 — the tokenizer-era corpus pipeline, composing the round-6
+# operators end to end: quality filter -> exact dedup -> BPE trained ON
+# THE SURVIVORS (the order real pipelines use — the tokenizer must not
+# learn from junk or duplicates) -> full-corpus encode -> temperature
+# resample (mT5 alpha-mix over the tokenized corpus) -> per-source token
+# accounting. The oracle replays every stage including all 24 merge
+# decisions, so the final token budgets are hash-checked through the
+# entire composition. Scale shape: each stage's inventory is its own
+# entry's (t5/d1/t16/t17/smp6); the composition adds no new shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe6_tokenized_corpus",
+    oracle=f"""
+    WITH q_tk AS (
+      SELECT doc_id, source, text, {_DUCK_TOKENS} AS tokens
+      FROM documents WHERE length(text) > 0
+    ), q_m AS (
+      SELECT doc_id, source, text, tokens, len(tokens) AS n_tokens,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+               / len(tokens) AS mean_tok_len,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|is)\\b')) > 0
+               AS has_stopword
+      FROM q_tk WHERE len(tokens) > 0
+    ), q_kept AS (
+      SELECT doc_id, source, text FROM q_m
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND symbol_ratio < 0.3 AND has_stopword
+    ), uniq AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM q_kept
+      ) WHERE rn = 1
+    ),
+    {_duck_bpe_ctes(_BPE_MERGES, docs_rel="uniq")},
+    dw AS (
+      SELECT doc_id, source, word FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS word
+        FROM uniq
+      )
+      WHERE length(word) > 0
+        AND NOT contains(word, chr(1)) AND NOT contains(word, chr(2))
+    ),
+    enc AS (
+      SELECT doc_id, source, {_duck_bpe_encode_expr(_BPE_MERGES)} AS s
+      FROM dw
+    ),
+    dtok AS (
+      SELECT doc_id, source,
+             CAST(sum(length(s) - length(replace(s, chr(2), ''))) AS BIGINT)
+               AS n_bpe
+      FROM enc GROUP BY doc_id, source
+    ),
+    c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM dtok GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn,
+             sum(pow(CAST(n AS DOUBLE), {_SMP6_ALPHA})) AS z
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             {rnd_sql(
+                 f'pow(CAST(n AS DOUBLE), {_SMP6_ALPHA}) / t.z * t.nn'
+                 ' / CAST(n AS DOUBLE)', 9)} AS rate
+      FROM c CROSS JOIN t
+    ),
+    du AS (
+      SELECT dtok.*, {hash_uniform_sql('doc_id', 'temp')} AS u FROM dtok
+    ),
+    kk AS (
+      SELECT du.doc_id, du.source, du.n_bpe,
+             CAST(floor(r.rate)
+                  + CASE WHEN du.u < {rnd_sql('r.rate - floor(r.rate)', 9)}
+                         THEN 1 ELSE 0 END AS BIGINT) AS copies
+      FROM du JOIN r ON du.source IS NOT DISTINCT FROM r.source
+    ),
+    rs AS (
+      SELECT kk.* FROM kk, unnest(generate_series(1, kk.copies)) AS g(i)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
+    FROM rs GROUP BY source
+    """,
+)
+def pipe6_tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import (
+        bpe_token_counts,
+        bpe_train_auto,
+        word_frequencies,
+    )
+    from ..operators.sampling import temperature_resample
+
+    d = _docs_with_tokens(spark, sf_dir).filter(
+        (F.length("text") > 0) & (F.col("n_tokens") > 0)
+    )
+    # survivors head three consumers (train, encode, source join)
+    uniq = _exact_dedup_lowest_id(
+        _quality_kept(d), ["doc_id", "source", "text"]
+    ).transform(stage_cache)
+    merges = bpe_train_auto(word_frequencies(uniq), _BPE_MERGES)
+    dtok = bpe_token_counts(uniq, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_bpe")
+    )
+    dtok_src = dtok.join(uniq.select("doc_id", "source"), "doc_id")
+    rs = temperature_resample(
+        dtok_src.select("doc_id", "source", "n_bpe"),
+        "source", "doc_id", alpha=_SMP6_ALPHA, salt="temp",
+    )
+    return rs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+    )
