@@ -259,6 +259,15 @@ def main() -> None:
             ).save()
             dt = time.perf_counter() - t0
             dc = _tree_cpu_seconds() - c0
+            # The tree sum is NOT monotonic: a descendant whose parent
+            # dies mid-window reparents to PID 1 and leaves the walked
+            # tree, taking its accumulated CPU with it (r06 shipped 4
+            # negative per-query CPU values this way). A negative delta
+            # is a measurement failure, not a measurement — record the
+            # window as missing (None below), so the entry wall-gates in
+            # tools/bench_diff.py per the documented no-cpu fallback.
+            if dc < 0:
+                dc = float("nan")
             # CPU of the SAME run that won on wall — a matched
             # (wall, cpu) pair is what makes steal visible, a min over
             # mismatched runs is not

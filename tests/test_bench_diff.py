@@ -64,3 +64,35 @@ def test_noise_floor_still_applies_to_cpu(tmp_path):
     r = _run(old, new)
     assert r.returncode == 0
     assert "noise floor" in r.stdout
+
+
+def test_negative_new_cpu_wall_gates_not_negative_ratio(tmp_path):
+    # r06 defect class: a PID exiting mid-window made the NEW cpu
+    # negative; the old gate used it and produced a negative ratio that
+    # silently passed. Such entries must fall back to the wall gate —
+    # here wall regressed 4x, so the run must FAIL despite the bogus cpu.
+    old = _art(tmp_path / "o.json", {"q": 2.0}, {"q": 8.0})
+    new = _art(tmp_path / "n.json", {"q": 8.0}, {"q": -4.0})
+    r = _run(old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "no cpu sample — wall-gated" in r.stdout
+    # and the symmetric case: wall fine, cpu negative -> OK, wall-gated
+    new2 = _art(tmp_path / "n2.json", {"q": 2.1}, {"q": -4.0})
+    r2 = _run(old, new2)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+
+
+def test_compact_summary_artifact_rejected_with_pointer(tmp_path):
+    # the driver's BENCH_r*.json "parsed" holds bench.py's LAST stdout
+    # line — the compact totals-only summary; load() must say so rather
+    # than the generic "not a bench artifact"
+    p = tmp_path / "driver.json"
+    with open(p, "w") as f:
+        json.dump({"parsed": {"metric": "m", "value": 170.0,
+                              "unit": "sec", "n": 82, "cpu_value": 850.0,
+                              "sf": 0.1}}, f)
+    old = _art(tmp_path / "o.json", {"q": 2.0})
+    r = _run(str(p), old)
+    assert r.returncode != 0
+    assert "compact summary" in r.stderr
+    assert "BENCH_LOCAL" in r.stderr

@@ -178,3 +178,24 @@ def test_train_auto_dispatches_and_falls_back(spark):
     expect = _py_train_full(SENNRICH, 6)
     assert bpe_train_auto(wf, 6) == expect                 # np path
     assert bpe_train_auto(wf, 6, max_rows=2) == expect     # fallback path
+
+
+def test_train_auto_fallback_is_typed_not_message_matched(spark):
+    """The auto dispatch catches WordTableTooLarge (a dedicated type),
+    not 'max_rows' substrings — so an unrelated ValueError that happens
+    to mention max_rows propagates instead of triggering a silent full
+    distributed retrain, and rewording the guard message can't break
+    the fallback (round-6 advice)."""
+    from weather_data_pipeline_sv_spark.operators.bpe import (
+        WordTableTooLarge,
+        bpe_train_auto,
+        bpe_train_np,
+    )
+
+    with pytest.raises(WordTableTooLarge):
+        bpe_train_np(_wf_df(spark, SENNRICH), 2, max_rows=2)
+    assert issubclass(WordTableTooLarge, ValueError)  # back-compat
+    # an exhaustion ValueError is NOT a size problem: auto must raise,
+    # not quietly dispatch to the distributed trainer
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train_auto(_wf_df(spark, {"aa": 3}), 5)

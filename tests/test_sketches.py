@@ -159,3 +159,130 @@ def test_cms_estimate_broadcasts_the_counter_table(spark):
         est._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_estimate_rejects_parameter_mismatch(spark, tmp_path):
+    """cms_table stamps (depth, width, salt) into the counter column's
+    metadata; cms_estimate asserts agreement — a width/salt mismatch
+    would miss every bucket and silently estimate 0, violating the
+    documented est >= exact guarantee (round-6 advice). The stamp
+    survives a parquet round-trip."""
+    import pytest as _pytest
+
+    df = _zipf_terms(spark)
+    cms = cms_table(df, "term", depth=4, width=256, salt="cms")
+    probe = df.select("term").distinct().limit(3)
+    for bad in (
+        dict(width=512),
+        dict(salt="other"),
+        dict(depth=8),
+    ):
+        kw = dict(depth=4, width=256, salt="cms") | bad
+        with _pytest.raises(ValueError, match="built with"):
+            cms_estimate(cms, probe, "term", **kw)
+    # parquet round-trip preserves the stamp — the persisted-sketch path
+    p = str(tmp_path / "cms.parquet")
+    cms.write.parquet(p)
+    back = spark.read.parquet(p)
+    with _pytest.raises(ValueError, match="built with"):
+        cms_estimate(back, probe, "term", width=512)
+    # matching params still work after the round-trip
+    assert cms_estimate(back, probe, "term").count() == 3
+    # a hand-built sketch without metadata skips the check (documented)
+    bare = cms.select("s", "b", F.col("c").cast("bigint").alias("c"))
+    assert cms_estimate(bare, probe, "term", width=512).count() == 3
+
+
+# ---------------- bottom-k quantile sketch (t21/t22, round-7) ----------------
+
+
+def _vals(spark, n=1000, groups=("a", "b")):
+    rows = [
+        (g, gi * 100_000 + i, float((i * 7919) % 1000))
+        for gi, g in enumerate(groups)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "g string, id long, v double")
+
+
+def test_qsketch_rollup_theorem_binding_k(spark):
+    """bottomk(A ∪ B ∪ C) == merge(bottomk per slice) EXACTLY — at a k
+    that BINDS (k=64 << 1000/group), so the theorem is exercised on the
+    lossy path. This is the property that lets every executor/day keep k
+    rows and still answer global quantiles."""
+    from weather_data_pipeline_sv_spark.operators.sketches import (
+        qsketch,
+        qsketch_merge,
+    )
+
+    df = _vals(spark)
+    whole = qsketch(df, ["g"], "v", "id", k=64)
+    slices = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    merged = qsketch_merge(
+        [qsketch(s, ["g"], "v", "id", k=64) for s in slices], ["g"], k=64
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # idempotent under overlapping re-merge (a replayed slice)
+    remerged = qsketch_merge([merged, whole], ["g"], k=64)
+    assert sorted(map(tuple, remerged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_qsketch_state_bounded_and_null_values_excluded(spark):
+    from weather_data_pipeline_sv_spark.operators.sketches import qsketch
+
+    df = _vals(spark).withColumn(
+        "v", F.when(F.col("id") % 5 == 0, None).otherwise(F.col("v"))
+    )
+    sk = qsketch(df, ["g"], "v", "id", k=32)
+    assert sk.count() == 2 * 32
+    assert sk.filter(F.col("qsk_v").isNull()).count() == 0
+
+
+def test_sample_quantiles_exact_on_full_table(spark):
+    """sample_quantiles over the FULL table == the exact lower quantile
+    (index floor(q*(n-1)) in (value, id) order) — the 'exact' side of
+    t21's error column is literally the same rank rule."""
+    from weather_data_pipeline_sv_spark.operators.sketches import (
+        sample_quantiles,
+    )
+
+    df = _vals(spark, n=101, groups=("a",)).select(
+        "g", F.col("v").alias("qsk_v"),
+        F.col("id").cast("string").alias("qsk_id"),
+    )
+    out = {
+        r["q"]: r["est"]
+        for r in sample_quantiles(df, ["g"], [0.0, 0.5, 1.0]).collect()
+    }
+    vals = sorted(float((i * 7919) % 1000) for i in range(101))
+    assert out[0.0] == vals[0]
+    assert out[0.5] == vals[50]
+    assert out[1.0] == vals[100]
+
+
+def test_qsketch_quantile_error_bound(spark):
+    """The kept set is a uniform sample -> the rank of the estimate is
+    within ~3*sqrt(q(1-q)/k) of q (three-sigma; deterministic given the
+    md5 variate, so this never flakes)."""
+    import bisect
+
+    from weather_data_pipeline_sv_spark.operators.sketches import (
+        qsketch,
+        sample_quantiles,
+    )
+
+    df = _vals(spark, n=5000, groups=("a",))
+    k = 128
+    sk = qsketch(df, ["g"], "v", "id", k=k)
+    vals = sorted(r["v"] for r in df.collect())
+    for r in sample_quantiles(sk, ["g"], [0.1, 0.5, 0.9]).collect():
+        q = r["q"]
+        # empirical rank of the estimated value in the population
+        rank = bisect.bisect_right(vals, r["est"]) / len(vals)
+        assert abs(rank - q) <= 3 * (q * (1 - q) / k) ** 0.5 + 1e-3, (
+            q, rank
+        )

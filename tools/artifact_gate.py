@@ -12,9 +12,15 @@ This gate makes it fail. For each given artifact it asserts:
 - the artifact's entry keys == the LIVE ``__spark_entry__.queries()``
   keys (no missing, no extra/renamed leftovers);
 - every entry is green for its artifact kind:
-  * correctness sweeps (``driver_sim --json``): ``err`` null and no
-    explicit False among rows/schema/hash matches;
+  * correctness sweeps (``driver_sim --json``): ``err`` exactly null
+    and rows/schema/hash matches all exactly True — an entry that
+    crashed mid-sweep and wrote nulls (or omitted fields) must NOT
+    pass as green (round-6 advice);
   * plan audits: no ``error`` recorded for the entry.
+- the count-bearing prose lines (SURVEY.md / README.md / COVERAGE.md)
+  agree with the live catalog size — SURVEY.md shipped stale at
+  141-vs-142 in round 6, one layer above the artifact staleness this
+  gate already catches.
 
 Usage:
     python tools/artifact_gate.py CORRECTNESS_LOCAL_r06.json \
@@ -70,9 +76,62 @@ def check(path: str, expected: set[str]) -> list[str]:
             problems.append(
                 f"{path}: {name}: err={rec.get('err') or rec.get('error')}"
             )
-        for fld in ("rows_match", "schema_match", "hash_match"):
-            if rec.get(fld) is False:
-                problems.append(f"{path}: {name}: {fld} is False")
+        match_flds = ("rows_match", "schema_match", "hash_match")
+        is_sweep = any(f in rec for f in match_flds)
+        if is_sweep:
+            # correctness sweeps must be affirmatively green: a crashed
+            # entry that wrote null matches (or err='') would otherwise
+            # pass, defeating the greenness guarantee. rows-only entries
+            # (no oracle_sql) legitimately record schema/hash as null —
+            # driver_sim marks them "mode": "rows_only" (older artifacts:
+            # recognizable by rows_match=True with no oracle columns).
+            weak = rec.get("mode") == "rows_only" or (
+                rec.get("rows_match") is True
+                and rec.get("oracle_rows") is None
+                and rec.get("schema_match") is None
+                and rec.get("hash_match") is None
+            )
+            required = ("rows_match",) if weak else match_flds
+            if rec.get("err", None) is not None:
+                problems.append(
+                    f"{path}: {name}: err is {rec.get('err')!r}, not null"
+                )
+            for fld in required:
+                if rec.get(fld) is not True:
+                    problems.append(
+                        f"{path}: {name}: {fld} is "
+                        f"{rec.get(fld)!r}, not True"
+                    )
+    return problems
+
+
+# count-bearing prose lines: file -> regex whose group(1) must equal the
+# live catalog size. A file with no match passes (counts removed from
+# prose is the other sanctioned fix).
+PROSE_COUNT_PATTERNS = {
+    "SURVEY.md": r"all (\d+) catalog entries",
+    "README.md": r"(\d+) oracle-checked queries",
+    "COVERAGE.md": r"\(all (\d+)\b",
+}
+
+
+def check_prose(expected_count: int) -> list[str]:
+    import re
+
+    problems: list[str] = []
+    for fname, pat in PROSE_COUNT_PATTERNS.items():
+        fpath = os.path.join(REPO, fname)
+        if not os.path.exists(fpath):
+            continue
+        with open(fpath) as f:
+            text = f.read()
+        for m in re.finditer(pat, text):
+            if int(m.group(1)) != expected_count:
+                line = text.count("\n", 0, m.start()) + 1
+                problems.append(
+                    f"{fname}:{line}: prose says {m.group(1)} entries, "
+                    f"live catalog has {expected_count}"
+                )
     return problems
 
 
@@ -84,6 +143,14 @@ def main() -> int:
     expected = live_query_keys()
     print(f"live catalog: {len(expected)} queries() entries")
     rc = 0
+    prose = check_prose(len(expected))
+    if prose:
+        rc = 1
+        for p in prose:
+            print(f"FAIL {p}")
+    else:
+        print("OK   prose counts (SURVEY/README/COVERAGE) match live "
+              "catalog")
     for path in paths:
         problems = check(path, expected)
         if problems:

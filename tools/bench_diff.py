@@ -36,11 +36,19 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float] | None]:
     """Returns (wall, cpu-or-None) per-query dicts."""
     with open(path) as f:
         art = json.load(f)
-    # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+    # the driver's BENCH_r{N}.json wraps bench.py's LAST stdout line under
+    # "parsed" — which since the two-line contract is the COMPACT summary
+    # (totals only, no per-query dict), so driver artifacts are not
+    # diffable; say so instead of the generic "not a bench artifact"
     if isinstance(art.get("parsed"), dict):
         art = art["parsed"]
     q = art.get("queries")
     if not isinstance(q, dict) or not q:
+        if "n" in art and "value" in art:
+            raise SystemExit(
+                f"{path}: compact summary (n={art['n']}, no per-query "
+                "dict) — diff the BENCH_LOCAL_r* full artifact instead"
+            )
         raise SystemExit(f"{path}: no 'queries' dict — not a bench artifact")
     wall = {k: float(v) for k, v in q.items()}
     cq = art.get("cpu_queries")
@@ -93,7 +101,15 @@ def main() -> int:
         """(old, new) of the gated metric; None if CPU missing for n."""
         if not gate_cpu:
             return old[n], new[n]
-        if n in old_cpu and n in new_cpu and old_cpu[n] > 0:
+        # BOTH sides must be positive: a non-positive NEW cpu (the r06
+        # negative-delta class, now recorded as null by bench.py but
+        # guarded here against old artifacts) would yield a negative
+        # ratio that silently passes the gate — exactly the masking this
+        # gate exists to prevent. Such entries wall-gate instead.
+        if (
+            n in old_cpu and n in new_cpu
+            and old_cpu[n] > 0 and new_cpu[n] > 0
+        ):
             return old_cpu[n], new_cpu[n]
         return None
 

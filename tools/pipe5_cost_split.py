@@ -70,9 +70,16 @@ def lifecycle(spark, sf_dir: str, base_dir: str) -> dict:
         dt = time.perf_counter() - t0
         b = _du(root)
         delta = b - prev_bytes
-        phases.append(
-            {"phase": name, "wall_s": round(dt, 2), "bytes_written": delta}
-        )
+        rec = {
+            # directory-size DELTA, not a write counter: a phase that
+            # compacts/replaces store files (e.g. retrain rewrites the
+            # quantizer) legitimately goes negative — labeled so a
+            # negative value isn't read as an accounting bug (r06 note)
+            "phase": name, "wall_s": round(dt, 2), "bytes_delta": delta,
+        }
+        if delta < 0:
+            rec["note"] = "store shrank (phase replaced/compacted files)"
+        phases.append(rec)
         prev_bytes = b
         print(f"[pipe5-split] {name}: {dt:.2f} s, +{delta} B "
               f"(total {b / 1e6:.1f} MB)", file=sys.stderr)

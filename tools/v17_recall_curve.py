@@ -1,17 +1,28 @@
-"""Measure IVFADC retrieval quality: recall@k vs n_probe (round-6).
+"""Measure IVFADC retrieval quality: recall@k curves + decomposition.
 
 The v16/v17 catalog entries prove the IVFADC *definition* is computed
 exactly (hash parity) and v17 hash-checks recall@k at the test dirs;
-this tool measures the QUALITY-SPEED TRADE at a real corpus size — the
-number the round-5 verdict said was missing. For each n_probe it runs
-the same configuration as catalog v16 (16 coarse lists, 8x16 PQ,
-corpus-count-derived training stride) over an embeddings dir and scores
-mean recall@5 of the compressed probe-pruned answer against the EXACT
-cosine top-k (v1 semantics: 6-dp-rounded cosine desc, id asc).
+this tool measures the QUALITY-SPEED TRADE at a real corpus size. For
+each configuration it runs the same operator stack as catalog v16/v18
+over an embeddings dir and scores mean recall@5 of the compressed
+probe-pruned answer against the EXACT cosine top-k (v1 semantics:
+6-dp-rounded cosine desc, id asc).
 
-n_probe = n_lists isolates PQ-compression error (no pruning); smaller
-n_probe adds routing error on top. Results land in RECALL_V17.json and
-are recorded in SCALE.md next to the v16 speed numbers.
+Round-7 additions (the r06 verdict's #1):
+- high-precision configs (k_codes=256 / M=16 subspaces — the FAISS
+  8-bit-code norm) and rerank curves per config, to locate a named
+  production operating point with recall@5 >= 0.9 on a CLUSTERED corpus
+  (tools/make_clustered_emb_dir.py — the near-uniform data_emb300k is
+  the known-degenerate case for any compressed code);
+- margin histogram: per-query exact-cosine gap at rank 5 (cos@5 -
+  cos@6) and the bulk gap (cos@5 - cos@100) — how much error the code
+  may add before recall@5 / shortlist coverage degrade, measured not
+  argued;
+- reconstruction decomposition: recall of ranking by exact L2 against
+  DECODED vectors over the WHOLE corpus (numpy; no routing, no LUT) =
+  the code-error ceiling of a codebook, next to the flat-IVF control
+  (= routing-only) and the measured operator (= both). Plus the
+  per-vector reconstruction-error distribution against the margins.
 
 Usage: python tools/v17_recall_curve.py [emb_dir] [out.json]
 """
@@ -23,6 +34,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
@@ -33,8 +46,77 @@ from weather_data_pipeline_sv_spark.session import get_spark
 N_QUERIES = 10
 TOP_K = 5
 N_LISTS = 16
-N_SUB, K_CODES, SUB_DIM = 8, 16, 8
-TRAIN_TARGET = 2048  # catalog _V16_TRAIN
+# catalog v16 config (the hash-checked definition) and the production
+# high-precision configs this tool exists to locate
+CONFIGS = {
+    "m8_k16": dict(n_sub=8, k_codes=16, sub_dim=8),     # catalog default
+    "m8_k64": dict(n_sub=8, k_codes=64, sub_dim=8),
+    "m8_k256": dict(n_sub=8, k_codes=256, sub_dim=8),   # FAISS 8-bit codes
+    "m16_k256": dict(n_sub=16, k_codes=256, sub_dim=4),  # 2x subspaces
+}
+TRAIN_TARGET = 2048  # catalog _V16_TRAIN (used for the catalog config)
+
+
+def _train_target(k_codes: int) -> int:
+    # seeds are the k lowest-id sample rows: the sample must scale with
+    # the seed count (>= 16 rows per codeword) or Lloyd starves
+    return max(TRAIN_TARGET, 16 * k_codes)
+
+
+def _load_np(emb_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(emb_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    order = np.argsort(np.asarray(t["vec_id"]))
+    x = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64)
+    return x.reshape(len(order), -1)[order]
+
+
+def margin_stats(x: np.ndarray, n_queries: int, k: int) -> dict:
+    """Exact-cosine margins per query: gap at rank k and gap to the
+    rank-100 bulk — the error budget a compressed code has to fit in."""
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn[:n_queries] @ xn.T
+    m_at_k, bulk_gap, cos_k = [], [], []
+    for i in range(n_queries):
+        s = np.sort(sims[i])[::-1]  # s[0] = self
+        m_at_k.append(float(s[k] - s[k + 1]))
+        bulk_gap.append(float(s[k] - s[100]))
+        cos_k.append(float(s[k]))
+    q = lambda a, p: float(np.percentile(a, p))
+    return {
+        "per_query_margin_at_k": [round(v, 5) for v in m_at_k],
+        "margin_at_k": {"min": q(m_at_k, 0), "p25": q(m_at_k, 25),
+                        "median": q(m_at_k, 50), "p75": q(m_at_k, 75),
+                        "max": q(m_at_k, 100)},
+        "bulk_gap_k_to_100": {"min": q(bulk_gap, 0),
+                              "median": q(bulk_gap, 50),
+                              "max": q(bulk_gap, 100)},
+        "cos_at_k": {"min": q(cos_k, 0), "median": q(cos_k, 50),
+                     "max": q(cos_k, 100)},
+    }
+
+
+def np_encode_decode(x: np.ndarray, books, sub_dim: int):
+    """Encode+decode the whole corpus against driver-side codebooks
+    (numpy twin of pq_encode's argmin — same per-dim accumulation).
+    Returns (decoded [n, dim], recon_sq_err [n])."""
+    n, dim = x.shape
+    dec = np.empty_like(x)
+    err = np.zeros(n)
+    for s, book in enumerate(books):
+        lo = s * sub_dim
+        sub = x[:, lo:lo + sub_dim]
+        cents = np.array([c for _, c in book])  # [K, sub_dim]
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        code = d.argmin(axis=1)
+        dec[:, lo:lo + sub_dim] = cents[code]
+        err += d[np.arange(n), code]
+    return dec, err
 
 
 def main() -> None:
@@ -68,59 +150,63 @@ def main() -> None:
     }
     print(f"[recall] exact truth built over n={n}", file=sys.stderr)
 
-    m = max(1, n // TRAIN_TARGET)
-    train = emb.filter(F.col("vec_id") % m == 0)
+    def train_for(k_codes: int):
+        m = max(1, n // _train_target(k_codes))
+        return emb.filter(F.col("vec_id") % m == 0), m
 
-    def run(n_probe: int, k_codes: int) -> dict:
+    def run(n_probe: int, cfg: str) -> dict:
+        c = CONFIGS[cfg]
+        train, m = train_for(c["k_codes"])
         t0 = time.perf_counter()
         ann = {
             (r["query_id"], r["neighbor_id"])
             for r in sim.ivfpq_topk(
                 emb, queries, k=TOP_K,
-                n_lists=N_LISTS, n_probe=n_probe,
-                n_sub=N_SUB, k_codes=k_codes, sub_dim=SUB_DIM, n_iter=2,
-                train=train,
+                n_lists=N_LISTS, n_probe=n_probe, n_iter=2,
+                train=train, **c,
             ).select("query_id", "neighbor_id").collect()
         }
         dt = time.perf_counter() - t0
         rec = len(ann & truth) / float(N_QUERIES * TOP_K)
-        row = {"n_probe": n_probe, "k_codes": k_codes,
-               "recall_at_5": round(rec, 4), "wall_s": round(dt, 2)}
-        print(f"[recall] n_probe={n_probe} k_codes={k_codes}: "
-              f"recall@5={rec:.3f} ({dt:.1f} s end-to-end incl. train)",
-              file=sys.stderr)
+        row = {"config": cfg, "n_probe": n_probe, "train_stride": m,
+               "recall_at_5": round(rec, 4), "wall_s": round(dt, 2), **c}
+        print(f"[recall] {cfg} n_probe={n_probe}: recall@5={rec:.3f} "
+              f"({dt:.1f} s end-to-end incl. train)", file=sys.stderr)
         return row
 
-    # routing error: n_probe sweep at the catalog config (8x16 PQ);
-    # n_probe = n_lists = no pruning (PQ-compression error only)
-    probe_curve = [run(p, K_CODES) for p in (1, 2, 4, 8, 16)]
-    # compression error: codebook-size sweep at the default n_probe —
-    # the quality knob a 100 TB deployment turns (FAISS default is 8-bit
-    # codes, k=256)
-    k_curve = [run(4, k) for k in (64, 256)]
-
-    # rerank (v18 semantics): exact re-ranking of the ADC top-R
-    # shortlist — rerank recall@k == shortlist coverage of the true
-    # top-k, since exact re-ranking never demotes a true neighbor that
-    # made the shortlist
-    rerank_curve = []
-    for R in (25, 100, 400):
+    def run_rerank(n_probe: int, cfg: str, R: int) -> dict:
+        # v18 semantics: exact re-ranking of the ADC top-R shortlist —
+        # rerank recall@k == shortlist coverage of the true top-k, since
+        # exact re-ranking never demotes a true neighbor on the shortlist
+        c = CONFIGS[cfg]
+        train, m = train_for(c["k_codes"])
         t0 = time.perf_counter()
         short = {
             (r["query_id"], r["neighbor_id"])
             for r in sim.ivfpq_topk(
-                emb, queries, k=R, n_lists=N_LISTS, n_probe=4,
-                n_sub=N_SUB, k_codes=K_CODES, sub_dim=SUB_DIM, n_iter=2,
-                train=train,
+                emb, queries, k=R, n_lists=N_LISTS, n_probe=n_probe,
+                n_iter=2, train=train, **c,
             ).select("query_id", "neighbor_id").collect()
         }
         dt = time.perf_counter() - t0
         rec = len(short & truth) / float(N_QUERIES * TOP_K)
-        rerank_curve.append(
-            {"R": R, "recall_at_5": round(rec, 4), "wall_s": round(dt, 2)}
-        )
-        print(f"[recall] rerank R={R}: recall@5={rec:.3f} ({dt:.1f} s)",
-              file=sys.stderr)
+        row = {"config": cfg, "n_probe": n_probe, "R": R,
+               "recall_at_5": round(rec, 4), "wall_s": round(dt, 2)}
+        print(f"[recall] rerank {cfg} n_probe={n_probe} R={R}: "
+              f"recall@5={rec:.3f} ({dt:.1f} s)", file=sys.stderr)
+        return row
+
+    # routing error: n_probe sweep at the catalog config
+    probe_curve = [run(p, "m8_k16") for p in (1, 2, 4, 8, 16)]
+    # compression error: codebook-size / subspace-count sweep at the
+    # default n_probe — the quality knobs a 100 TB deployment turns
+    k_curve = [run(4, c) for c in ("m8_k64", "m8_k256", "m16_k256")]
+    # rerank: catalog config (continuity with r06) and the production
+    # config the operating point comes from
+    rerank_curve = [run_rerank(4, "m8_k16", R) for R in (25, 100, 400)]
+    rerank_curve += [
+        run_rerank(8, "m16_k256", R) for R in (25, 100, 400)
+    ]
 
     # control: FLAT IVF (full-precision vectors, same routing) isolates
     # routing loss from PQ loss — if this is high while the ADC rows are
@@ -144,19 +230,72 @@ def main() -> None:
         print(f"[recall] flat-ivf n_probe={n_probe}: recall@5={rec:.3f} "
               f"({dt:.1f} s)", file=sys.stderr)
 
+    # ----- margin + reconstruction decomposition (numpy, exact) -----
+    x = _load_np(emb_dir)
+    margins = margin_stats(x, N_QUERIES, TOP_K)
+    print(f"[recall] margins@{TOP_K}: {margins['margin_at_k']}",
+          file=sys.stderr)
+
+    decomposition = []
+    truth_idx = {}
+    for qid, nid in truth:
+        truth_idx.setdefault(qid, set()).add(nid)
+    for cfg in ("m8_k16", "m16_k256"):
+        c = CONFIGS[cfg]
+        train, m = train_for(c["k_codes"])
+        books = sim.pq_train(
+            train, c["n_sub"], c["k_codes"], c["sub_dim"], n_iter=2
+        )
+        dec, err = np_encode_decode(x, books, c["sub_dim"])
+        # reconstruction ranking: exact L2 between the query (full
+        # precision) and every DECODED vector — the ceiling any routing/
+        # LUT stack can reach with these codes (ADC computes exactly
+        # this distance, so measured-ADC below this = implementation
+        # loss, equal = code error explains everything)
+        hits = 0
+        for qi in range(N_QUERIES):
+            d = ((dec - x[qi]) ** 2).sum(axis=1)
+            d[qi] = np.inf  # self
+            top = np.argpartition(d, TOP_K)[:TOP_K]
+            hits += len(set(int(t) for t in top) & truth_idx.get(qi, set()))
+        rec_ceiling = hits / float(N_QUERIES * TOP_K)
+        # reconstruction error in COSINE units: for unit vectors,
+        # cos(q, x) - cos(q, dec(x)) is bounded by |x - dec(x)|; compare
+        # its distribution to the rank-5 margin distribution
+        l2 = np.sqrt(err)
+        decomposition.append({
+            "config": cfg, **c, "train_stride": m,
+            "recall_decoded_l2_no_routing": round(rec_ceiling, 4),
+            "recon_l2": {
+                "median": round(float(np.median(l2)), 5),
+                "p90": round(float(np.percentile(l2, 90)), 5),
+            },
+            "median_recon_l2_over_median_margin": round(
+                float(np.median(l2))
+                / max(margins["margin_at_k"]["median"], 1e-12), 1,
+            ),
+        })
+        print(f"[recall] decomposition {cfg}: decoded-L2 recall "
+              f"{rec_ceiling:.3f}, median |x-dec(x)| "
+              f"{float(np.median(l2)):.4f}", file=sys.stderr)
+
     art = {
         "metric": (
             f"IVFADC recall@{TOP_K} vs exact cosine top-{TOP_K}, "
-            f"{N_QUERIES} queries, n_lists={N_LISTS}, M={N_SUB} "
-            f"subspaces, train stride m={m}, dir={emb_dir} (n={n}); "
-            "probe_curve varies routing at k_codes=16, k_curve varies "
-            "codebook size at n_probe=4"
+            f"{N_QUERIES} queries, n_lists={N_LISTS}, dir={emb_dir} "
+            f"(n={n}); probe_curve varies routing at the catalog config "
+            "(M=8, k=16), k_curve varies code precision at n_probe=4, "
+            "rerank_curve = v18 shortlist coverage; decomposition: "
+            "flat_ivf_control = routing-only loss, "
+            "recall_decoded_l2_no_routing = code-only ceiling"
         ),
         "n": n,
         "probe_curve": probe_curve,
         "k_curve": k_curve,
         "rerank_curve": rerank_curve,
         "flat_ivf_control": flat_curve,
+        "margins": margins,
+        "decomposition": decomposition,
     }
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1)

@@ -2788,3 +2788,132 @@ def pipe6_tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_unique_docs"),
         F.sum("n_bpe").alias("total_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T21 — mergeable quantile sketch (bottom-k / KMV, operators/
+# sketches.py): the rank summary that completes the profiling family
+# (t18 HLL = distinct, t19 CMS = frequency, this = quantiles) for
+# CONTINUOUS value domains — a18's value-grid histogram assumes a
+# bounded domain. State is k rows per group at any corpus size; the
+# kept set is a pure multiset function (md5 variate bottom-k), so the
+# SAME sketch — and therefore the same estimate, an actual data value —
+# is reproduced by the DuckDB oracle, unlike approx_percentile (engine-
+# private). Estimates carry the measured error against the exact
+# quantile computed by the identical rank rule on the full table.
+# k=128 already binds at sf0.01 (en has 218 docs), so the hash check
+# exercises the LOSSY path, not a trivial pass-through.
+# ---------------------------------------------------------------------------
+from ..operators.sketches import (  # noqa: E402
+    duck_qsk_sql as _duck_qsk_sql,
+    duck_quantile_sql as _duck_quantile_sql,
+)
+
+_QSK_K = 128
+_QSK_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "t21_quantile_sketch",
+    oracle=f"""
+    WITH
+    {_duck_qsk_sql(
+        'SELECT lang, doc_id, n_chars FROM documents',
+        ['lang'], 'n_chars', 'doc_id', _QSK_K).strip()},
+    {_duck_quantile_sql('qsk', ['lang'], _QSK_QS, out='qest').strip()},
+    ex_src AS (
+      SELECT lang, CAST(doc_id AS VARCHAR) AS qsk_id, n_chars AS qsk_v
+      FROM documents
+    ),
+    {_duck_quantile_sql('ex_src', ['lang'], _QSK_QS, out='qex').strip()}
+    SELECT e.lang, e.q, e.est AS est_value, x.est AS exact_value,
+           {rnd_sql(
+               'abs(CAST(e.est AS DOUBLE) - CAST(x.est AS DOUBLE))'
+               ' / greatest(CAST(x.est AS DOUBLE), 1.0)', 6)} AS rel_err
+    FROM qest e JOIN qex x
+      ON e.lang IS NOT DISTINCT FROM x.lang AND e.q = x.q
+    """,
+)
+def t21_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import qsketch, sample_quantiles
+
+    d = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    ).select("lang", "doc_id", "n_chars")
+    sk = qsketch(d, ["lang"], "n_chars", "doc_id", k=_QSK_K)
+    est = sample_quantiles(sk, ["lang"], _QSK_QS)
+    exact = sample_quantiles(
+        d.select(
+            "lang",
+            F.col("n_chars").alias("qsk_v"),
+            F.col("doc_id").cast("string").alias("qsk_id"),
+        ),
+        ["lang"], _QSK_QS,
+    ).select(
+        F.col("lang").alias("__l"), F.col("q").alias("__q"),
+        F.col("est").alias("exact_value"),
+    )
+    return (
+        est.join(
+            exact,
+            est["lang"].eqNullSafe(exact["__l"])
+            & (est["q"] == exact["__q"]),
+        )
+        .select(
+            "lang", "q",
+            F.col("est").alias("est_value"),
+            "exact_value",
+            rnd(
+                F.abs(
+                    F.col("est").cast("double")
+                    - F.col("exact_value").cast("double")
+                )
+                / F.greatest(
+                    F.col("exact_value").cast("double"), F.lit(1.0)
+                ),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T22 — the quantile-sketch rollup theorem (t20's companion): three
+# disjoint doc_id slices are sketched INDEPENDENTLY (the per-executor /
+# per-day state), merged by union + re-bottom-k, and estimated — while
+# the oracle computes the ONE-SHOT sketch over the full table. Hash
+# equality of the estimates IS the proof that bottom-k merge is exact
+# (bottomk(A∪B) == bottomk(bottomk(A)∪bottomk(B))) — the property that
+# lets 1000 executors (or 1000 daily increments) each keep k rows and
+# still answer global quantiles, with no re-scan of history.
+# ---------------------------------------------------------------------------
+@register(
+    "t22_incremental_quantile",
+    oracle=f"""
+    WITH
+    {_duck_qsk_sql(
+        'SELECT lang, doc_id, n_chars FROM documents',
+        ['lang'], 'n_chars', 'doc_id', _QSK_K).strip()},
+    {_duck_quantile_sql('qsk', ['lang'], _QSK_QS, out='qest').strip()}
+    SELECT lang, q, est AS est_value FROM qest
+    """,
+)
+def t22_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        qsketch,
+        qsketch_merge,
+        sample_quantiles,
+    )
+
+    d = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    ).select("lang", "doc_id", "n_chars")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sketches = [
+        qsketch(sl, ["lang"], "n_chars", "doc_id", k=_QSK_K)
+        for sl in slices
+    ]
+    merged = qsketch_merge(sketches, ["lang"], k=_QSK_K)
+    return sample_quantiles(merged, ["lang"], _QSK_QS).select(
+        "lang", "q", F.col("est").alias("est_value")
+    )

@@ -220,6 +220,16 @@ def bpe_token_counts(
 BPE_DRIVER_TRAIN_MAX_ROWS = 1_000_000
 
 
+class WordTableTooLarge(ValueError):
+    """The word-frequency table exceeds the driver-collect ceiling.
+
+    A dedicated type (not message matching) so :func:`bpe_train_auto`'s
+    fallback dispatch can't be broken by rewording the guard message —
+    and can't swallow an unrelated ValueError that happens to contain
+    'max_rows' (round-6 advice). Subclasses ValueError for backward
+    compatibility with callers catching the old type."""
+
+
 def bpe_train_np(
     words: DataFrame, n_merges: int,
     word_col: str = "word", freq_col: str = "freq",
@@ -239,7 +249,7 @@ def bpe_train_np(
     # (typically corpus-scale, uncached) word_frequencies plan twice
     rows = words.select(word_col, freq_col).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
-        raise ValueError(
+        raise WordTableTooLarge(
             f"bpe_train_np collects the word table and it exceeds "
             f"max_rows={max_rows}; prune with min_freq or use the "
             "distributed bpe_train."
@@ -289,7 +299,5 @@ def bpe_train_auto(
         return bpe_train_np(
             words, n_merges, word_col, freq_col, max_rows=max_rows
         )
-    except ValueError as exc:
-        if "max_rows" not in str(exc):
-            raise
+    except WordTableTooLarge:
         return bpe_train(words, n_merges, word_col, freq_col)

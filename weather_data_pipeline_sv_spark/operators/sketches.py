@@ -212,6 +212,21 @@ def cms_table(
         )
         .groupBy("s", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # stamp the build parameters into the counter column's metadata
+        # (survives parquet round-trips — Spark stores field metadata in
+        # the file schema): cms_estimate asserts agreement, because a
+        # width/salt mismatch silently misses every bucket, coalesces to
+        # 0, and violates the documented est >= exact guarantee
+        .withColumn(
+            "c",
+            F.col("c").alias(
+                "c",
+                metadata={
+                    "cms_depth": depth, "cms_width": width,
+                    "cms_salt": salt,
+                },
+            ),
+        )
     )
 
 
@@ -225,7 +240,30 @@ def cms_estimate(
     the probes instead would be silently ignored, because the preserved
     (left) side of a left-outer join can never be the hash build side.
     Missing buckets count 0 (an item never seen estimates 0, not
-    null)."""
+    null).
+
+    The (depth, width, salt) triple MUST match the one ``cms_table``
+    built with; when the sketch carries its build parameters (column
+    metadata on ``c``, stamped by cms_table and preserved by parquet),
+    a mismatch raises instead of silently estimating 0 for every probe.
+    A hand-built sketch without metadata skips the check."""
+    try:
+        meta = dict(cms.schema["c"].metadata or {})
+    except Exception:  # no 'c' column / exotic schema — let the join fail
+        meta = {}
+    if "cms_width" in meta:
+        built = (
+            int(meta.get("cms_depth", depth)),
+            int(meta.get("cms_width", width)),
+            meta.get("cms_salt", salt),
+        )
+        if built != (depth, width, salt):
+            raise ValueError(
+                f"cms_estimate called with (depth={depth}, width={width}, "
+                f"salt={salt!r}) but the sketch was built with "
+                f"(depth={built[0]}, width={built[1]}, salt={built[2]!r})"
+                " — estimates would miss every bucket and read 0"
+            )
     salts = F.array(*[F.lit(f"{salt}{i}") for i in range(depth)])
     pe = probes.select(
         F.col(item_col), F.explode(salts).alias("s")
@@ -259,4 +297,197 @@ def duck_cms_sql(
              CAST(count(*) AS BIGINT) AS c
       FROM ({source_sql}) CROSS JOIN cms_salts
       GROUP BY 1, 2
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV-style) quantile sketch — the mergeable RANK summary that
+# completes the profiling family (HLL = distinct, CMS = frequency,
+# this = quantiles). a18's value-grid histogram needs a bounded value
+# domain; this covers continuous domains with state k per group.
+#
+# Why bottom-k and not KLL/t-digest: their compactions depend on
+# insertion order, which Spark's partial aggregation does not fix and a
+# SQL oracle cannot replay — the repo's determinism contract (identical
+# sketch in any engine, merge-across-slices hash-provable) requires the
+# sketch to be a pure MULTISET function. Bottom-k is exactly that member
+# of the mergeable-summaries family (Agarwal et al., PODS 2012): keep
+# the k rows with the smallest md5 variate per group; the kept set is a
+# uniform without-replacement sample, so the sample's empirical quantile
+# estimates the population quantile with error O(sqrt(q(1-q)/k)), and
+#
+#   bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))
+#
+# EXACTLY (associative, idempotent under duplicate-row dedup) — the
+# 1000-executor rollup property, hash-proven like t20's HLL theorem.
+#
+# Shuffle inventory: build = one per-group top-k window (rows carry
+# (u, id, v) — combine happens in the sort spill, state k per group);
+# merge = same window over the unioned sketches; estimate = one window
+# + a broadcast join against a groups x |qs| target-rank table.
+# Everything below the variate is engine-portable integer/choice math:
+# the estimate is an actual data value, never an interpolation.
+# ---------------------------------------------------------------------------
+from pyspark.sql import Window  # noqa: E402
+
+
+def _qsk_u(id_col: Column, salt: str) -> Column:
+    """Exact-integer md5 variate (the hash_uniform family, undivided)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("bigint")
+
+
+def qsketch(
+    df: DataFrame, group_cols: list[str], value_col: str, id_col: str,
+    k: int = 128, salt: str = "qsk",
+) -> DataFrame:
+    """(group..., qsk_u, qsk_id, qsk_v): the k rows with the smallest
+    (variate, id) per group. Null values are excluded (rank semantics
+    over present values, the percentile_cont convention)."""
+    w = Window.partitionBy(*group_cols).orderBy("qsk_u", "qsk_id")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            _qsk_u(F.col(id_col), salt).alias("qsk_u"),
+            F.col(id_col).cast("string").alias("qsk_id"),
+            F.col(value_col).alias("qsk_v"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def qsketch_merge(
+    sketches: list[DataFrame], group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """Combine per-slice sketches: union -> dedup identical rows (so a
+    re-merged slice is idempotent) -> re-select bottom-k. Associativity
+    makes merged == one-shot on disjoint slices — the rollup theorem
+    the t22 oracle hash-proves."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    w = Window.partitionBy(*group_cols).orderBy("qsk_u", "qsk_id")
+    return (
+        u.dropDuplicates([*group_cols, "qsk_id"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_quantiles(
+    df: DataFrame, group_cols: list[str], qs: list[float],
+    value_col: str = "qsk_v", id_col: str = "qsk_id",
+) -> DataFrame:
+    """Empirical lower quantiles of (group, value) rows: for each q,
+    the value at 0-based index floor(q * (m - 1)) in (value, id) order —
+    an ACTUAL data value (no interpolation, so cross-engine
+    bit-parity), computed for a sketch or, identically, for the full
+    table (the exact side of t21's error column). The target-rank table
+    is groups x |qs| — broadcast; the join key includes the rank, so
+    there is no fan-out."""
+    wg = Window.partitionBy(*group_cols)
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, value_col, id_col)
+        .withColumn(
+            "__rn", F.row_number().over(wg.orderBy(value_col, id_col))
+        )
+        .withColumn("__m", F.count(F.lit(1)).over(wg))
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    targets = (
+        ranked.select(*group_cols, "__m").distinct()
+        .select(*group_cols, "__m", F.explode(qarr).alias("q"))
+        .withColumn(
+            "__target",
+            (F.floor(F.col("q") * (F.col("__m") - 1)) + 1).cast("int"),
+        )
+        # rename the group keys: targets derives from ranked, and a join
+        # between the two is otherwise an ambiguous self-join
+        .select(
+            *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+            "q", "__target",
+        )
+    )
+    cond = [
+        ranked[c].eqNullSafe(targets[f"__t_{c}"]) for c in group_cols
+    ]
+    cond.append(ranked["__rn"] == targets["__target"])
+    return (
+        ranked.join(F.broadcast(targets), cond)
+        .select(
+            *[ranked[c] for c in group_cols],
+            targets["q"],
+            ranked[value_col].alias("est"),
+        )
+    )
+
+
+def duck_qsk_sql(
+    source_sql: str, group_cols: list[str], value_expr: str,
+    id_expr: str, k: int = 128, salt: str = "qsk", rel: str = "qsk",
+) -> str:
+    """The identical sketch as DuckDB CTEs (oracle side): exposes
+    ``{rel}(group..., qsk_u, qsk_id, qsk_v)``."""
+    g = ", ".join(group_cols)
+    return f"""
+    {rel}_all AS (
+      SELECT {g},
+             CAST('0x' || substr(md5('{salt}' || ':' ||
+                  CAST({id_expr} AS VARCHAR)), 1, 8) AS BIGINT) AS qsk_u,
+             CAST({id_expr} AS VARCHAR) AS qsk_id,
+             {value_expr} AS qsk_v
+      FROM ({source_sql}) WHERE {value_expr} IS NOT NULL
+    ),
+    {rel} AS (
+      SELECT {g}, qsk_u, qsk_id, qsk_v FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {g} ORDER BY qsk_u, qsk_id) AS rn
+        FROM {rel}_all
+      ) WHERE rn <= {k}
+    )"""
+
+
+def duck_quantile_sql(
+    rel: str, group_cols: list[str], qs: list[float],
+    value_col: str = "qsk_v", id_col: str = "qsk_id", out: str = "qest",
+) -> str:
+    """Quantile-estimate CTEs over any (group, value, id) relation —
+    the exact mirror of :func:`sample_quantiles`."""
+    g = ", ".join(group_cols)
+    q_list = ", ".join(repr(float(q)) for q in qs)
+    join_g = " AND ".join(
+        f"r.{c} IS NOT DISTINCT FROM t.{c}" for c in group_cols
+    )
+    return f"""
+    {out}_rank AS (
+      SELECT {g}, {value_col}, {id_col},
+             row_number() OVER (
+               PARTITION BY {g} ORDER BY {value_col}, {id_col}) AS rn,
+             count(*) OVER (PARTITION BY {g}) AS m
+      FROM {rel} WHERE {value_col} IS NOT NULL
+    ),
+    {out}_t AS (
+      SELECT {g}, q,
+             CAST(floor(q * (m - 1)) AS BIGINT) + 1 AS target
+      FROM (SELECT DISTINCT {g}, m FROM {out}_rank),
+           -- DOUBLE, not DECIMAL: floor(q*(m-1)) in decimal arithmetic
+           -- is exact (0.3*10 = 3.0 -> floor 3) where double gives
+           -- 2.999... -> floor 2 — the cast keeps both engines on the
+           -- SAME IEEE math
+           (SELECT unnest([{q_list}]::DOUBLE[]) AS q)
+    ),
+    {out} AS (
+      SELECT {', '.join(f'r.{c}' for c in group_cols)}, t.q,
+             r.{value_col} AS est
+      FROM {out}_rank r JOIN {out}_t t
+        ON {join_g} AND r.rn = t.target
     )"""
