@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "smp7_weighted_sample",
     "t20_incremental_hll",
     "pipe6_tokenized_corpus",
+    # round-7 additions
+    "t21_quantile_sketch",
+    "t22_incremental_quantile",
 ]
 
 

@@ -199,3 +199,59 @@ def test_train_auto_fallback_is_typed_not_message_matched(spark):
     # not quietly dispatch to the distributed trainer
     with pytest.raises(ValueError, match="exhausted"):
         bpe_train_auto(_wf_df(spark, {"aa": 3}), 5)
+
+
+def test_train_py_incremental_equals_full_recount():
+    """Round-7: bpe_train_py's heap+index incremental loop is
+    bit-identical to the round-6 full-recount algorithm (reimplemented
+    here as the reference) on a 500-word Zipf vocabulary with runs,
+    ties, and chained merges — the property that lets the driver twin
+    run 30k-merge production vocabularies (tools/bpe_scale_probe.py
+    --driver)."""
+    import sys as _sys
+    from pathlib import Path
+
+    from weather_data_pipeline_sv_spark.operators.bpe import bpe_train_py
+
+    _sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from bpe_scale_probe import synth_words
+
+    def full_recount(freqs, n_merges):
+        state = {w: (list(w), f) for w, f in freqs.items()}
+        merges = []
+        for step in range(1, n_merges + 1):
+            counts = {}
+            for toks, f in state.values():
+                for p in zip(toks, toks[1:]):
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                raise ValueError("exhausted")
+            (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, a + b, cnt))
+            new_state = {}
+            for w, (toks, f) in state.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_state[w] = (out, f)
+            state = new_state
+        return merges
+
+    freqs = synth_words(500)
+    assert bpe_train_py(freqs, 300) == full_recount(freqs, 300)
+    # runs + ties (the aaaa overlap rule and lexicographic tie-break);
+    # this vocabulary is fully merged after exactly 5 steps
+    tricky = {"aaaa": 3, "ab": 5, "ba": 5, "abab": 2}
+    assert bpe_train_py(tricky, 5) == full_recount(tricky, 5)
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train_py(tricky, 6)
+    # exhaustion propagates with the same contract
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train_py({"aa": 3}, 5)

@@ -61,3 +61,32 @@ def test_scaled_ids_dense_and_cosines_preserved(spark, sf_dir):
     base = cos(rows[0], rows[1])
     for i in range(1, FACTOR):
         assert abs(cos(rows[i * n], rows[i * n + 1]) - base) < 1e-6
+
+
+def test_clustered_emb_generator_deterministic_and_unit_norm():
+    """tools/make_clustered_emb_dir.py: bit-reproducible (seeded single
+    Generator, fixed draw order), unit-norm float32, dup families
+    inherit the parent's cluster label, and near-dup pairs actually sit
+    at near-dup cosine (the structure RECALL_CLUSTERED.json's margins
+    depend on)."""
+    import numpy as np
+
+    from make_clustered_emb_dir import clustered_embeddings
+
+    x1, l1 = clustered_embeddings(2000, 32, 0.08, dim=16)
+    x2, l2 = clustered_embeddings(2000, 32, 0.08, dim=16)
+    assert np.array_equal(x1, x2) and np.array_equal(l1, l2)
+    assert x1.dtype == np.float32 and l1.dtype == np.int32
+    norms = np.linalg.norm(x1.astype(np.float64), axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # clusters are real: mean within-label cosine far above global mean
+    sims = x1 @ x1.T
+    same = l1[:, None] == l1[None, :]
+    off = ~np.eye(len(x1), dtype=bool)
+    within = sims[same & off].mean()
+    overall = sims[off].mean()
+    assert within > overall + 0.3
+    # near-dup families exist: a meaningful share of best-neighbor
+    # cosines is >= 0.95 (sigma_dup=0.03 perturbations)
+    np.fill_diagonal(sims, -1)
+    assert (sims.max(axis=1) >= 0.95).mean() > 0.15

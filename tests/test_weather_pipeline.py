@@ -212,3 +212,45 @@ def test_idempotent_rerun(spark, bronze):
     a = _rows([tuple(r) for r in first.select(*GOLD_COMPARE_COLS).collect()])
     b = _rows([tuple(r) for r in second.select(*GOLD_COMPARE_COLS).collect()])
     assert a == b
+
+
+@pytest.mark.parametrize("data_type,lookback",
+                         [("observation", 168), ("forecast", 48)])
+def test_grid_spatial_path_equals_broadcast(spark, bronze, data_type,
+                                            lookback):
+    """The X4 grid equi-join path (spatial_join='grid') produces the
+    IDENTICAL gold table as the reference-shaped broadcast-NL path —
+    same pairs AND same float distances (both compute the same
+    haversine), so the strategy switch is purely physical. 'auto' picks
+    broadcast at this dim size (900-row postal table)."""
+    if data_type == "observation":
+        stg = clean_observations(
+            bronze["raw_weather_observations"], ASOF, lookback)
+    else:
+        stg = clean_forecasts(
+            bronze["raw_weather_forecasts"], ASOF, lookback)
+
+    def gold_with(strategy):
+        return aggregate_to_postal_codes(
+            stg, bronze["weather_stations"], bronze["postal_codes"],
+            data_type, ASOF, lookback_hours=lookback,
+            spatial_join=strategy,
+        ).select(*GOLD_COMPARE_COLS)
+
+    b = _rows([tuple(r) for r in gold_with("broadcast").collect()])
+    g = _rows([tuple(r) for r in gold_with("grid").collect()])
+    assert b == g and len(b) > 0
+    a = _rows([tuple(r) for r in gold_with("auto").collect()])
+    assert a == b
+    # plan pins: broadcast path is a BroadcastNestedLoopJoin (never a
+    # cartesian); the grid path replaces it with an equi join on the
+    # cell key — no NL join anywhere in its plan
+    bplan = gold_with("broadcast")._jdf.queryExecution().executedPlan().toString()
+    gplan = gold_with("grid")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bplan
+    assert "CartesianProduct" not in bplan
+    assert "BroadcastNestedLoopJoin" not in gplan
+    assert "CartesianProduct" not in gplan
+
+    with pytest.raises(ValueError, match="spatial_join"):
+        gold_with("bogus").collect()

@@ -248,10 +248,13 @@ def main() -> None:
         )
         dec, err = np_encode_decode(x, books, c["sub_dim"])
         # reconstruction ranking: exact L2 between the query (full
-        # precision) and every DECODED vector — the ceiling any routing/
-        # LUT stack can reach with these codes (ADC computes exactly
-        # this distance, so measured-ADC below this = implementation
-        # loss, equal = code error explains everything)
+        # precision) and every DECODED vector — the CODE-ONLY ranking
+        # quality (ADC computes exactly this distance per candidate, so
+        # any gap to the measured operator is routing). Note it is NOT a
+        # ceiling on the routed number: probing prunes confusable far-
+        # cluster candidates, so routed ADC can EXCEED it (measured on
+        # the clustered dir: 0.44 routed vs 0.32 unrouted at m8_k16 —
+        # routing is a filter that only removes competitors)
         hits = 0
         for qi in range(N_QUERIES):
             d = ((dec - x[qi]) ** 2).sum(axis=1)
@@ -287,7 +290,9 @@ def main() -> None:
             "(M=8, k=16), k_curve varies code precision at n_probe=4, "
             "rerank_curve = v18 shortlist coverage; decomposition: "
             "flat_ivf_control = routing-only loss, "
-            "recall_decoded_l2_no_routing = code-only ceiling"
+            "recall_decoded_l2_no_routing = code-only ranking quality "
+            "(not a ceiling on routed ADC — probing prunes confusable "
+            "far candidates)"
         ),
         "n": n,
         "probe_curve": probe_curve,

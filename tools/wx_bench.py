@@ -1,0 +1,197 @@
+"""Three-point bench of the engine's flagship path (round-7 verdict #3).
+
+Measures the reference's namesake workload end-to-end on the scaled
+weather dirs from tools/make_weather_dir.py:
+
+- ``wx_pipeline``            clean obs+fcst -> temporal check -> IDW
+                             spatial aggregate -> gold union (the full
+                             transform DAG body, `plans/pipeline.py`),
+                             broadcast spatial path, noop sink
+- ``wx_pipeline_grid``       identical pipeline on the X4 grid equi-join
+                             path (spatial_join='grid') — the broadcast/
+                             grid CROSSOVER evidence at each scale
+- ``wx_flagship_history``    the README flagship query: last-24h weather
+                             for postal code 10115 (weather_history over
+                             the freshly computed gold — end to end from
+                             bronze, bounded 24-row collect)
+- ``wx_latest_view``         v_latest_observations (the reference view)
+
+Protocol: min over SPARK_GRAFT_BENCH_RUNS runs (default 3) per entry,
+matched process-tree CPU from the winning run (bench.py's estimator,
+incl. the non-monotonic-window null rule). Also records plan facts for
+the 10x dir: stations join broadcast-hash, postal fan-out BNL-not-
+cartesian on the broadcast path and NL-free on the grid path, and a
+non-empty PushedFilters on the observations scan (the lookback window
+reaching the parquet row groups).
+
+Usage: python tools/wx_bench.py [dir ...] [--out BENCH_WEATHER.json]
+       (default dirs: data_wx1 data_wx10 data_wx30)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _tree_cpu_seconds
+from weather_data_pipeline_sv_spark.plans import schemas
+from weather_data_pipeline_sv_spark.plans.pipeline import run_transform
+from weather_data_pipeline_sv_spark.plans.queries import (
+    v_latest_observations,
+    weather_history,
+)
+from weather_data_pipeline_sv_spark.session import get_spark
+
+FLAGSHIP_PLZ = "10115"  # the reference README's demo postal code
+
+
+def load_wx(spark, d: str) -> dict:
+    tables = {}
+    for name, schema in (
+        ("weather_stations", schemas.WEATHER_STATIONS),
+        ("postal_codes", schemas.POSTAL_CODES),
+        ("raw_weather_observations", schemas.RAW_WEATHER_OBSERVATIONS),
+        ("raw_weather_forecasts", schemas.RAW_WEATHER_FORECASTS),
+    ):
+        tables[name] = spark.read.schema(schema).parquet(
+            f"{d}/{name}.parquet"
+        )
+    with open(f"{d}/meta.json") as f:
+        tables["meta"] = json.load(f)
+    return tables
+
+
+def asof_of(meta: dict) -> dt.datetime:
+    base = dt.datetime.fromisoformat(meta["base_ts"])
+    return base + dt.timedelta(hours=meta["days"] * 24)
+
+
+def entries(spark, t: dict) -> dict:
+    asof = asof_of(t["meta"])
+
+    def gold(spatial: str):
+        return run_transform(
+            t["raw_weather_observations"], t["raw_weather_forecasts"],
+            t["weather_stations"], t["postal_codes"], asof,
+            spatial_join=spatial,
+        ).gold
+
+    return {
+        "wx_pipeline": lambda: gold("broadcast")
+        .write.format("noop").mode("overwrite").save(),
+        "wx_pipeline_grid": lambda: gold("grid")
+        .write.format("noop").mode("overwrite").save(),
+        "wx_flagship_history": lambda: weather_history(
+            gold("broadcast"), FLAGSHIP_PLZ, "observation", asof, 24
+        ).collect(),
+        "wx_latest_view": lambda: v_latest_observations(gold("broadcast"))
+        .write.format("noop").mode("overwrite").save(),
+    }
+
+
+def plan_facts(spark, t: dict) -> dict:
+    asof = asof_of(t["meta"])
+
+    def plan(spatial: str) -> str:
+        g = run_transform(
+            t["raw_weather_observations"], t["raw_weather_forecasts"],
+            t["weather_stations"], t["postal_codes"], asof,
+            spatial_join=spatial,
+        ).gold
+        return g._jdf.queryExecution().executedPlan().toString()
+
+    b, g = plan("broadcast"), plan("grid")
+    pushed = any(
+        "PushedFilters: [" in ln and "PushedFilters: []" not in ln
+        for ln in b.splitlines()
+        if "raw_weather_observations" in ln or "PushedFilters" in ln
+    )
+    return {
+        "broadcast_path": {
+            "stations_broadcast_hash_join": "BroadcastHashJoin" in b,
+            "postal_broadcast_nl_join": "BroadcastNestedLoopJoin" in b,
+            "cartesian_product": "CartesianProduct" in b,
+            "obs_scan_pushed_filters": pushed,
+        },
+        "grid_path": {
+            "nl_join_free": "BroadcastNestedLoopJoin" not in g
+            and "CartesianProduct" not in g,
+        },
+    }
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    out_path = "BENCH_WEATHER.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    dirs = argv or ["data_wx1", "data_wx10", "data_wx30"]
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    spark = get_spark(app_name="wx-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    plan = None
+    for d in dirs:
+        t = load_wx(spark, d)
+        ents = entries(spark, t)
+        # warmup: one full pipeline pass so codegen/broadcast setup isn't
+        # billed to the first measured entry of each dir
+        ents["wx_pipeline"]()
+        rows = {
+            "n_obs": t["raw_weather_observations"].count(),
+            "n_fcst": t["raw_weather_forecasts"].count(),
+            "n_stations": t["meta"]["n_stations"],
+            "days": t["meta"]["days"],
+            "n_postal": t["meta"]["n_postal"],
+        }
+        timings, cpu = {}, {}
+        for name, fn in ents.items():
+            best = best_cpu = None
+            for _ in range(n_runs):
+                c0 = _tree_cpu_seconds()
+                t0 = time.perf_counter()
+                fn()
+                w = time.perf_counter() - t0
+                c = _tree_cpu_seconds() - c0
+                if c < 0:  # non-monotonic window -> missing (bench.py rule)
+                    c = float("nan")
+                if best is None or w < best:
+                    best, best_cpu = w, c
+            timings[name] = round(best, 3)
+            cpu[name] = round(best_cpu, 3) if best_cpu == best_cpu else None
+            print(f"[wx-bench] {d} {name}: {timings[name]} s wall, "
+                  f"{cpu[name]} s cpu", file=sys.stderr, flush=True)
+        results[d] = {**rows, "wall_s": timings, "cpu_s": cpu}
+        if t["meta"]["n_stations"] >= 1000 and plan is None:
+            plan = plan_facts(spark, t)
+        spark.catalog.clearCache()
+
+    art = {
+        "metric": (
+            "weather flagship path wall-clock (noop sink / bounded "
+            f"collect, min of {n_runs} runs), local["
+            + os.environ.get("SPARK_GRAFT_CPUS", "32")
+            + f"]; asof = last generated hour, lookback 168h obs / 48h "
+            "fcst (the reference DAG's parameters)"
+        ),
+        "dirs": results,
+        "plan_facts_10x": plan,
+    }
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(art))
+
+
+if __name__ == "__main__":
+    main()

@@ -260,26 +260,94 @@ def bpe_train_np(
     freqs: dict[str, int] = {}
     for r in rows:
         freqs[r[word_col]] = freqs.get(r[word_col], 0) + int(r[freq_col])
-    state = {
-        w: ("".join(f"{SOT}{c}{EOT}" for c in w), f)
-        for w, f in freqs.items()
-    }
+    return bpe_train_py(freqs, n_merges)
+
+
+def bpe_train_py(
+    freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The pure-driver BPE merge loop over a word-frequency dict — what
+    :func:`bpe_train_np` delegates to after its bounded collect, exposed
+    for the scale probe (tools/bpe_scale_probe.py --driver).
+
+    INCREMENTAL pair maintenance (round-7): a lazy max-heap of
+    (-count, pair) plus a pair -> containing-words index, so each merge
+    touches only the words that contain the chosen pair — the
+    round-6 loop recounted EVERY word's pairs per merge, O(vocab) per
+    round, which is fine at 24-256 merges but hours at a production
+    30k-merge vocabulary. Merge decisions are BIT-IDENTICAL to both the
+    old loop and the distributed :func:`bpe_train`: counts are exact
+    integers (raw adjacency, overlaps double-counted — the Sennrich
+    counting rule both engines use), the argmax tie-break is
+    (-count, pair) in both the heap ordering and the old ``min()``, and
+    within-word merging is the same greedy left-to-right non-overlapping
+    scan as the sentinel-string ``replace``. Pinned in tests/test_bpe.py
+    (np == distributed on duplicate/tie/run corpora).
+    """
+    import heapq
+
+    words: list[list] = [[list(w), int(f)] for w, f in freqs.items()]
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (toks, f) in enumerate(words):
+        for p in zip(toks, toks[1:]):
+            counts[p] = counts.get(p, 0) + f
+            index.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for sym, f in state.values():
-            toks = sym[1:-1].split(f"{EOT}{SOT}") if sym else []
-            for x, y in zip(toks, toks[1:]):
-                counts[(x, y)] = counts.get((x, y), 0) + f
-        if not counts:
+        # lazy-invalidation pop: every count change pushes a fresh entry,
+        # so the first top whose recorded count matches the live count is
+        # the true (max count, lexicographically smallest pair) argmax
+        best = None
+        while heap:
+            c, p = heap[0]
+            if counts.get(p, 0) == -c:
+                best = (p, -c)
+                break
+            heapq.heappop(heap)
+        if best is None:
             raise ValueError(
-                f"bpe_train_np: vocabulary exhausted after {step - 1} "
+                f"bpe_train_py: vocabulary exhausted after {step - 1} "
                 f"merges (requested {n_merges})."
             )
-        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((step, a, b, a + b, cnt))
-        pat, rep = merge_pattern(a, b)
-        state = {w: (s.replace(pat, rep), f) for w, (s, f) in state.items()}
+        heapq.heappop(heap)
+        (a, b), cnt = best
+        ab = a + b
+        merges.append((step, a, b, ab, cnt))
+        touched: set[tuple[str, str]] = set()
+        for wi in index.get((a, b), ()):
+            toks, f = words[wi]
+            # greedy left-to-right non-overlapping — replace() semantics
+            new: list[str] = []
+            i, n = 0, len(toks)
+            changed = False
+            while i < n:
+                if i < n - 1 and toks[i] == a and toks[i + 1] == b:
+                    new.append(ab)
+                    i += 2
+                    changed = True
+                else:
+                    new.append(toks[i])
+                    i += 1
+            if not changed:  # stale index entry (pair consumed earlier)
+                continue
+            for p in zip(toks, toks[1:]):
+                counts[p] -= f
+                touched.add(p)
+            for p in zip(new, new[1:]):
+                counts[p] = counts.get(p, 0) + f
+                index.setdefault(p, set()).add(wi)
+                touched.add(p)
+            words[wi][0] = new
+        index.pop((a, b), None)
+        for p in touched:
+            c = counts.get(p, 0)
+            if c <= 0:
+                counts.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

@@ -16,8 +16,13 @@ for MIN/MAX/COUNT but not the weighted means).
 Physical plan at scale: stations and postal_codes are small dims
 (README.md:16,139) ⇒ both joins broadcast; the only shuffle is the gold
 group-by, keyed on (postal_code, hour) — high cardinality, well spread.
-If the postal dim ever outgrows broadcast, swap the crossJoin for
-``operators/spatial.py::bucketed_range_join`` (grid-cell equi join).
+``spatial_join`` selects the fan-out strategy: "broadcast" (the
+reference-scale default — broadcast NL + haversine filter), "grid"
+(``operators/spatial.py::bucketed_range_join``, the X4 equi-join path
+for a postal dim too big to broadcast), or "auto" (count the dim —
+one cheap job — and pick; crossover at ``BROADCAST_MAX_CENTROIDS``).
+Both produce IDENTICAL pairs (pinned in tests/test_weather_pipeline);
+tools/wx_bench.py measures the crossover on the scaled weather dirs.
 """
 
 from __future__ import annotations
@@ -34,6 +39,13 @@ from ..functions.rounding import rnd
 RADIUS_KM = 50.0
 OBSERVATION = "observation"
 FORECAST = "forecast"
+
+#: "auto" switches the spatial fan-out from broadcast-NL to the grid
+#: equi join above this many postal centroids: 100k rows x ~40 B is a
+#: few MB serialized — safely under any executor/driver broadcast
+#: budget — while every row of a BNL probe pays O(dim) haversine work,
+#: so past ~1e5 centroids the bucketed join's selective cell key wins.
+BROADCAST_MAX_CENTROIDS = 100_000
 
 
 def _idw_mean(col: str) -> Column:
@@ -54,11 +66,13 @@ def map_to_postal_codes(
     asof: dt.datetime,
     lookback_hours: int,
     issue_time_filter: bool,
+    spatial_join: str = "broadcast",
 ) -> DataFrame:
     """Steps 1-2: attach coordinates, fan out to postal codes within 50 km.
 
     ``issue_time_filter``: forecasts window on forecast_timestamp while
     grouping on target_timestamp (quirk Q4).
+    ``spatial_join``: "broadcast" | "grid" | "auto" (see module doc).
     """
     cutoff = ntz_lit(asof) - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
     filter_col = "forecast_timestamp" if issue_time_filter else time_field
@@ -75,25 +89,42 @@ def map_to_postal_codes(
             "station_id",
         )
     )
-    dist = haversine_km(
-        F.col("latitude"), F.col("longitude"),
-        F.col("centroid_lat"), F.col("centroid_lon"),
-    )
-    return (
-        located.crossJoin(
-            F.broadcast(
-                postal_codes.filter(F.col("centroid_lat").isNotNull()).select(
-                    "postal_code", "centroid_lat", "centroid_lon"
-                )
-            )
+    centroids = postal_codes.filter(
+        F.col("centroid_lat").isNotNull()
+    ).select("postal_code", "centroid_lat", "centroid_lon")
+    if spatial_join == "auto":
+        spatial_join = (
+            "broadcast"
+            if centroids.count() <= BROADCAST_MAX_CENTROIDS
+            else "grid"
         )
-        .withColumn("distance_km", dist)
-        .filter(F.col("distance_km") <= RADIUS_KM)
-        .withColumn(
-            "idw_weight",
-            F.lit(1.0)
-            / F.nullif(F.col("distance_km") * F.col("distance_km"), F.lit(0.0)),
+    if spatial_join == "grid":
+        from ..operators.spatial import bucketed_range_join
+
+        mapped = bucketed_range_join(
+            located, centroids, RADIUS_KM,
+            p_lat="latitude", p_lon="longitude",
+            c_lat="centroid_lat", c_lon="centroid_lon",
         )
+    elif spatial_join == "broadcast":
+        dist = haversine_km(
+            F.col("latitude"), F.col("longitude"),
+            F.col("centroid_lat"), F.col("centroid_lon"),
+        )
+        mapped = (
+            located.crossJoin(F.broadcast(centroids))
+            .withColumn("distance_km", dist)
+            .filter(F.col("distance_km") <= RADIUS_KM)
+        )
+    else:
+        raise ValueError(
+            f"spatial_join must be 'broadcast', 'grid' or 'auto', "
+            f"got {spatial_join!r}"
+        )
+    return mapped.withColumn(
+        "idw_weight",
+        F.lit(1.0)
+        / F.nullif(F.col("distance_km") * F.col("distance_km"), F.lit(0.0)),
     )
 
 
@@ -104,6 +135,7 @@ def aggregate_to_postal_codes(
     data_type: str,
     asof: dt.datetime,
     lookback_hours: int | None = None,
+    spatial_join: str = "broadcast",
 ) -> DataFrame:
     """stg_{observations,forecasts} → analytics_weather_by_postal_code rows.
 
@@ -118,7 +150,7 @@ def aggregate_to_postal_codes(
 
     mapped = map_to_postal_codes(
         stg, stations, postal_codes, time_field, asof, lookback_hours,
-        issue_time_filter=is_fcst,
+        issue_time_filter=is_fcst, spatial_join=spatial_join,
     )
     if not is_fcst:
         # NULL::TIMESTAMP forecast_timestamp (aggregation.py:38)
