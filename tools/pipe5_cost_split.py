@@ -81,7 +81,7 @@ def lifecycle(spark, sf_dir: str, base_dir: str) -> dict:
             rec["note"] = "store shrank (phase replaced/compacted files)"
         phases.append(rec)
         prev_bytes = b
-        print(f"[pipe5-split] {name}: {dt:.2f} s, +{delta} B "
+        print(f"[pipe5-split] {name}: {dt:.2f} s, {delta:+d} B "
               f"(total {b / 1e6:.1f} MB)", file=sys.stderr)
 
     try:

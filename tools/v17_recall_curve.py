@@ -112,10 +112,18 @@ def np_encode_decode(x: np.ndarray, books, sub_dim: int):
         lo = s * sub_dim
         sub = x[:, lo:lo + sub_dim]
         cents = np.array([c for _, c in book])  # [K, sub_dim]
-        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # matmul identity, not a broadcast [n, K, sub_dim] temporary
+        # (that is ~5 GiB at n=300k, K=256): this tool measures recall,
+        # not hash parity, so the fold order is free to differ from the
+        # oracle kernels
+        d = (
+            (sub ** 2).sum(axis=1)[:, None]
+            - 2.0 * (sub @ cents.T)
+            + (cents ** 2).sum(axis=1)[None, :]
+        )
         code = d.argmin(axis=1)
         dec[:, lo:lo + sub_dim] = cents[code]
-        err += d[np.arange(n), code]
+        err += np.maximum(d[np.arange(n), code], 0.0)
     return dec, err
 
 

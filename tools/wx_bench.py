@@ -106,10 +106,14 @@ def plan_facts(spark, t: dict) -> dict:
         return g._jdf.queryExecution().executedPlan().toString()
 
     b, g = plan("broadcast"), plan("grid")
+    # the scan line carries path + PushedFilters together: require BOTH
+    # on the same line, or a forecasts-scan pushdown would greenwash a
+    # regressed observations scan
     pushed = any(
-        "PushedFilters: [" in ln and "PushedFilters: []" not in ln
+        "raw_weather_observations" in ln
+        and "PushedFilters: [" in ln
+        and "PushedFilters: []" not in ln
         for ln in b.splitlines()
-        if "raw_weather_observations" in ln or "PushedFilters" in ln
     )
     return {
         "broadcast_path": {
@@ -172,7 +176,10 @@ def main() -> None:
                   f"{cpu[name]} s cpu", file=sys.stderr, flush=True)
         results[d] = {**rows, "wall_s": timings, "cpu_s": cpu}
         if t["meta"]["n_stations"] >= 1000 and plan is None:
-            plan = plan_facts(spark, t)
+            # label the plan facts with their actual provenance — the
+            # first qualifying dir in argument order, not a fixed name
+            plan = {"dir": d, "n_stations": t["meta"]["n_stations"],
+                    **plan_facts(spark, t)}
         spark.catalog.clearCache()
 
     art = {
@@ -184,7 +191,7 @@ def main() -> None:
             "fcst (the reference DAG's parameters)"
         ),
         "dirs": results,
-        "plan_facts_10x": plan,
+        "plan_facts": plan,
     }
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1)

@@ -369,13 +369,20 @@ def qsketch_merge(
     """Combine per-slice sketches: union -> dedup identical rows (so a
     re-merged slice is idempotent) -> re-select bottom-k. Associativity
     makes merged == one-shot on disjoint slices — the rollup theorem
-    the t22 oracle hash-proves."""
+    the t22 oracle hash-proves.
+
+    Contract: ``qsk_id`` must uniquely key ROWS across all slices — it
+    is the variate source, so two DIFFERENT values under one id have
+    the same rank key and no deterministic order exists (in the merge
+    OR in a one-shot sketch over such data). Dedup is by the FULL row,
+    so replayed identical rows collapse while a contract violation
+    surfaces as duplicate-id rows rather than an arbitrary winner."""
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
     w = Window.partitionBy(*group_cols).orderBy("qsk_u", "qsk_id")
     return (
-        u.dropDuplicates([*group_cols, "qsk_id"])
+        u.dropDuplicates([*group_cols, "qsk_u", "qsk_id", "qsk_v"])
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
