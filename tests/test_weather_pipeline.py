@@ -258,19 +258,19 @@ def test_grid_spatial_path_equals_broadcast(spark, bronze, data_type,
 
 def test_grid_path_rejects_polar_centroids(spark, bronze):
     """bucketed_range_join clamps lon replication beyond |lat| 75 and
-    can silently drop near-polar matches — the grid pipeline path must
-    refuse such centroid dims instead of quietly diverging from the
-    broadcast path it is pinned pair-identical to."""
+    would silently drop near-polar matches — the operator now RAISES at
+    execution (plan-embedded, covers every caller including the grid
+    pipeline path), instead of quietly diverging from the broadcast
+    path it is pinned pair-identical to."""
     stg = clean_observations(bronze["raw_weather_observations"], ASOF, 168)
-    import pyspark.sql.functions as SF
-
     polar = bronze["postal_codes"].withColumn(
         "centroid_lat",
-        SF.when(SF.col("postal_code") == "10115", SF.lit(80.0))
-        .otherwise(SF.col("centroid_lat")),
+        F.when(F.col("postal_code") == "10115", F.lit(80.0))
+        .otherwise(F.col("centroid_lat")),
     )
-    with pytest.raises(ValueError, match="polar"):
-        aggregate_to_postal_codes(
-            stg, bronze["weather_stations"], polar,
-            "observation", ASOF, lookback_hours=168, spatial_join="grid",
-        )
+    gold = aggregate_to_postal_codes(
+        stg, bronze["weather_stations"], polar,
+        "observation", ASOF, lookback_hours=168, spatial_join="grid",
+    )
+    with pytest.raises(Exception, match="polar centroid latitude"):
+        gold.collect()

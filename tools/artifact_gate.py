@@ -74,12 +74,13 @@ def check(path: str, expected: set[str]) -> list[str]:
             continue
         match_flds = ("rows_match", "schema_match", "hash_match")
         is_sweep = any(f in rec for f in match_flds)
-        # plan audits record 'error'; sweep err is covered by the
-        # stricter exactly-null check below (one FAIL line per defect)
-        if not is_sweep and (rec.get("err") or rec.get("error")):
-            problems.append(
-                f"{path}: {name}: err={rec.get('err') or rec.get('error')}"
-            )
+        # 'error' (the plan-audit field name) fails ANY record kind;
+        # sweep 'err' is covered by the stricter exactly-null check
+        # below (one FAIL line per defect, round-7 review)
+        if rec.get("error"):
+            problems.append(f"{path}: {name}: err={rec.get('error')}")
+        elif not is_sweep and rec.get("err"):
+            problems.append(f"{path}: {name}: err={rec.get('err')}")
         if is_sweep:
             # correctness sweeps must be affirmatively green: a crashed
             # entry that wrote null matches (or err='') would otherwise

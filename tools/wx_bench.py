@@ -96,6 +96,11 @@ def entries(spark, t: dict) -> dict:
 
 def plan_facts(spark, t: dict) -> dict:
     asof = asof_of(t["meta"])
+    # the scan line carries the file path inside a length-capped
+    # metadata string (default 100 chars): a deeper checkout would
+    # truncate 'raw_weather_observations' out of the line and fake a
+    # pushdown regression — widen the cap for the plan render
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
 
     def plan(spatial: str) -> str:
         g = run_transform(

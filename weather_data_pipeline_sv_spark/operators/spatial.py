@@ -50,7 +50,11 @@ def bucketed_range_join(
     + centroid columns + ``distance_km``. Latitudes beyond ``max_abs_lat``
     are supported only on the point side (centroids that close to a pole
     would need near-global lon replication — pre-filter or handle polar
-    caps as a single bucket upstream).
+    caps as a single bucket upstream). A centroid past the limit RAISES
+    at execution (a plan-embedded check — no extra driver job) rather
+    than silently clamping its replication ring and dropping matches;
+    this covers every caller, including the weather pipeline's
+    ``spatial_join="grid"`` path.
     """
     overlap = set(points.columns) & set(centroids.columns)
     if overlap:
@@ -82,6 +86,22 @@ def bucketed_range_join(
         F.abs(F.col(c_lat)) + F.lit(cell), F.lit(max_abs_lat)
     )
     k_lon = F.ceil(F.lit(1.0) / F.cos(F.radians(eff_lat))).cast("int")
+    # contract enforcement (round-7): beyond max_abs_lat the clamp above
+    # would silently truncate the ring and DROP matches — raise instead,
+    # per centroid row, inside the job that reads the dim anyway
+    k_lon = F.when(
+        F.abs(F.col(c_lat)) > max_abs_lat,
+        F.raise_error(
+            F.concat(
+                F.lit("bucketed_range_join: polar centroid latitude "),
+                F.col(c_lat).cast("string"),
+                F.lit(
+                    f" exceeds max_abs_lat={max_abs_lat} — pre-filter "
+                    "polar centroids or use the broadcast path"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(k_lon)
     cent = (
         centroids.withColumn("__k", k_lon)
         .withColumn("__lat_off", F.explode(F.sequence(F.lit(-1), F.lit(1))))

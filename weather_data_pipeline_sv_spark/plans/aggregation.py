@@ -101,20 +101,10 @@ def map_to_postal_codes(
     if spatial_join == "grid":
         from ..operators.spatial import bucketed_range_join
 
-        # bucketed_range_join's documented centroid-side limit: beyond
-        # |lat| 75 its lon replication is clamped and near-polar matches
-        # can be silently dropped — enforce the limit here (one cheap
-        # dim-table probe) rather than let "grid" quietly diverge from
-        # the broadcast path the module doc pins as pair-identical
-        if (
-            centroids.filter(F.abs(F.col("centroid_lat")) > 75.0)
-            .limit(1).count() > 0
-        ):
-            raise ValueError(
-                "spatial_join='grid' does not support centroids beyond "
-                "|lat| 75 (bucketed_range_join's replication clamp); "
-                "use spatial_join='broadcast' for polar postal regions"
-            )
+        # polar centroids (|lat| > the operator's max_abs_lat) RAISE at
+        # execution inside bucketed_range_join itself — a plan-embedded
+        # per-row check, so the grid path can never silently diverge
+        # from the broadcast path and no extra driver job is spent here
         mapped = bucketed_range_join(
             located, centroids, RADIUS_KM,
             p_lat="latitude", p_lon="longitude",
