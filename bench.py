@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     # round-7 additions
     "t21_quantile_sketch",
     "t22_incremental_quantile",
+    "t23_bm25_topk",
+    "t24_chunk_documents",
+    "d11_boilerplate_shingles",
+    "smp8_leakage_free_split",
+    "smp9_curriculum_order",
+    "v19_mean_pool",
 ]
 
 

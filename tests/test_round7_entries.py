@@ -1,0 +1,247 @@
+"""Round-7 operators: BM25 retrieval, chunking/pooling, boilerplate,
+leakage-free split, and the two-level global shuffle order."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_sv_spark.operators.chunking import (
+    chunk_by_tokens,
+    mean_pool,
+    mean_pool_vectors,
+)
+from weather_data_pipeline_sv_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+)
+from weather_data_pipeline_sv_spark.operators.sampling import (
+    global_hash_order,
+)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+def _np_bm25(corpus: dict[int, list[str]], query: list[str], k1, b):
+    """Reference BM25 in plain Python for the hand-check."""
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    out = {}
+    for doc, toks in corpus.items():
+        s = 0.0
+        for term in set(query):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in corpus.values() if term in t)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            out[doc] = s
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    corpus = {
+        1: "the cat sat on the mat".split(),
+        2: "the dog sat".split(),
+        3: "cats and dogs".split(),
+        4: "weather data pipeline".split(),
+    }
+    doc_terms = spark.createDataFrame(
+        [(d, t) for d, toks in corpus.items() for t in toks],
+        ["doc_id", "term"],
+    )
+    query = ["cat", "sat"]
+    qt = spark.createDataFrame([(0, t) for t in query], ["query_id", "term"])
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(doc_terms, qt, k=10).collect()
+    }
+    want = _np_bm25(corpus, query, BM25_K1, BM25_B)
+    assert set(got) == set(want)  # doc 4 shares no term -> never scored
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-4)
+
+
+def test_bm25_rank_and_k(spark):
+    # doc 1 contains the term twice, doc 2 once but shorter -> both
+    # scored; rank is 1-based, dense, capped at k, doc_id breaks ties
+    doc_terms = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (3, "z")],
+        ["doc_id", "term"],
+    )
+    qt = spark.createDataFrame([(7, "x")], ["query_id", "term"])
+    rows = bm25_topk(doc_terms, qt, k=1).collect()
+    assert len(rows) == 1 and rows[0]["rank"] == 1
+    rows = bm25_topk(doc_terms, qt, k=10).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+def _chunks(spark, toks, window=4, stride=3):
+    df = spark.createDataFrame([(1, toks)], ["doc_id", "tokens"])
+    return (
+        chunk_by_tokens(df, "doc_id", "tokens", window=window, stride=stride)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+
+
+def test_chunking_edges(spark):
+    toks = [f"w{i}" for i in range(1, 11)]  # 10 tokens, window 4 stride 3
+    rows = _chunks(spark, toks)
+    # starts 1,4,7,10 -> lengths 4,4,4,1
+    assert [r["start_tok"] for r in rows] == [1, 4, 7, 10]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert [r["chunk_idx"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["chunk_text"] == "w1 w2 w3 w4"
+    assert rows[-1]["chunk_text"] == "w10"
+    # every token covered at least once
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+
+    # shorter than one window -> exactly one chunk
+    rows = _chunks(spark, ["a", "b"])
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+    # exactly one window -> one full chunk... plus the stride-3 tail at 4
+    rows = _chunks(spark, ["a", "b", "c", "d"])
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 1]
+    # empty array -> no rows
+    df = spark.createDataFrame([(1, [])], "doc_id: long, tokens: array<string>")
+    assert chunk_by_tokens(df).count() == 0
+
+
+def test_chunking_validates_params(spark):
+    df = spark.createDataFrame([(1, ["a"])], ["doc_id", "tokens"])
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, window=0)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, stride=0)
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+
+    plan = (
+        all_queries()["t24_chunk_documents"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # pure map-side generator: the ONLY allowed exchange is the
+    # ensure_min_parallelism round-robin fan-out of the single local
+    # parquet file — no hash or range shuffle anywhere
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Mean pooling
+# ---------------------------------------------------------------------------
+def test_mean_pool_and_vector_form_agree(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, 5.0])],
+        ["g", "embedding"],
+    )
+    long = {
+        (r["g"], r["pos"]): (r["n_vecs"], r["pooled"])
+        for r in mean_pool(df, "g").collect()
+    }
+    assert long[("a", 0)] == (2, 2.0) and long[("a", 1)] == (2, 4.0)
+    assert long[("b", 0)] == (1, 5.0)
+    vecs = {
+        r["g"]: r["pooled_vec"]
+        for r in mean_pool_vectors(df, "g").collect()
+    }
+    assert vecs["a"] == [2.0, 4.0] and vecs["b"] == [5.0, 5.0]
+
+
+# ---------------------------------------------------------------------------
+# Global hash order
+# ---------------------------------------------------------------------------
+def test_global_hash_order_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    got = global_hash_order(df, "doc_id", salt="s", n_buckets=8)
+    # naive single-window replay
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("s"), F.lit(":"),
+                           F.col("doc_id").cast("string"))), 1, 8
+        ), 16, 10,
+    ).cast("bigint")
+    naive = df.withColumn(
+        "position",
+        F.row_number().over(Window.orderBy(h.asc(), F.col("doc_id").asc())),
+    )
+    g = {r["doc_id"]: r["position"] for r in got.collect()}
+    n = {r["doc_id"]: r["position"] for r in naive.collect()}
+    assert g == n
+    assert sorted(g.values()) == list(range(1, 501))  # dense, 1-based
+
+
+def test_global_hash_order_validates_buckets(spark):
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        global_hash_order(df, "doc_id", n_buckets=48)
+
+
+def test_smp9_plan_has_no_global_corpus_window(spark, sf_dir):
+    """The corpus-sized window must be partitioned by bucket; the only
+    single-partition structure allowed is the n_buckets-row offsets
+    aggregate."""
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+
+    df = all_queries()["smp9_curriculum_order"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus window partitioned by bucket
+    assert "partitionBy" not in plan or True  # textual form varies; check below
+    import re
+
+    # every Window over __h must carry the __bucket partition spec
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        if "__rank" in m.group(0):
+            assert "__bucket" in m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free split
+# ---------------------------------------------------------------------------
+def test_smp8_no_component_straddles_splits(spark, sf_dir):
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+
+    df = all_queries()["smp8_leakage_free_split"](spark, sf_dir)
+    bad = (
+        df.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert bad == 0
+    # exhaustive: every doc got a split label
+    assert df.filter(F.col("split").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate
+# ---------------------------------------------------------------------------
+def test_d11_ratio_and_bounds(spark, sf_dir):
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+
+    rows = all_queries()["d11_boilerplate_shingles"](spark, sf_dir).collect()
+    assert rows  # corpus has docs with >= 3 tokens
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert r["boiler_ratio"] == pytest.approx(
+            math.floor(r["n_boiler"] / r["n_shingles"] * 1e6 + 0.5 + 1e-6)
+            / 1e6
+        )

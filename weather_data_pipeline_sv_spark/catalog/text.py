@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators.retrieval import BM25_B, BM25_K1
 from ..sources import load_tables
 from ..functions.caching import loop_cache, stage_cache
 from ..functions.partitioning import ensure_min_parallelism
@@ -2917,3 +2918,323 @@ def t22_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_quantiles(merged, ["lang"], _QSK_QS).select(
         "lang", "q", F.col("est").alias("est_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# T23 — BM25 top-k keyword retrieval (Okapi BM25, Robertson & Walker
+# 1994): the lexical counterpart of the embedding ANN family (v1-v18),
+# used for decontamination-by-retrieval and sparse-baseline hard-negative
+# mining. The inverted index IS the (term -> postings) aggregate; queries
+# probe it with an equi-join on term, so only documents sharing a term
+# with a query are ever scored. Query set: every doc_id % 100 == 0
+# document contributes its first 8 tokens (deduped) as a query — a
+# corpus-derived, deterministic probe set that scales with the corpus.
+# Shuffles: ONE corpus-sized tf aggregate (map-side combined), a
+# vocabulary-sized df aggregate (AQE sizes the join), a broadcast 1-row
+# stats join, the (query, doc) partial-agg sum, and a per-QUERY top-k
+# window — never a global window. See operators/retrieval.py.
+# ---------------------------------------------------------------------------
+_BM25_QMOD = 100
+_BM25_QTERMS = 8
+_BM25_K = 5
+
+
+@register(
+    "t23_bm25_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), tocc AS (
+      SELECT doc_id, unnest(tokens) AS term FROM tk WHERE len(tokens) > 0
+    ), toc AS (
+      SELECT doc_id, term FROM tocc WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toc GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS doc_len FROM toc GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(doc_len AS DOUBLE)) AS avgdl
+      FROM dl
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id,
+               unnest(list_slice(tokens, 1, {_BM25_QTERMS})) AS term
+        FROM tk WHERE doc_id % {_BM25_QMOD} = 0 AND len(tokens) > 0
+      ) WHERE term <> ''
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.doc_len / stats.avgdl))
+             ) AS score
+      FROM qt q
+      JOIN tf USING (term)
+      JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('score', 6)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, rank, {rnd_sql('score', 4)} AS bm25
+    FROM rk WHERE rank <= {_BM25_K}
+    """,
+)
+def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    doc_terms = d.select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).filter(F.col("term") != "")
+    query_terms = (
+        d.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("tokens", 1, _BM25_QTERMS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return bm25_topk(doc_terms, query_terms, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# T24 — overlapping token-window chunking (context-window preparation):
+# split every document into window=32-token chunks at stride 24 (8-token
+# overlap) — the step that feeds embedding/indexing/packing in a RAG or
+# pretraining pipeline. Pure map-side generator (sequence + explode +
+# slice): ZERO shuffles at any corpus size; output volume is the only
+# cost (each token re-emitted ~window/stride times).
+# See operators/chunking.py.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@register(
+    "t24_chunk_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), st AS (
+      SELECT doc_id, tokens,
+             unnest(generate_series(1, len(tokens), {_CHUNK_S})) AS start_tok
+      FROM tk WHERE len(tokens) >= 1
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // {_CHUNK_S} + 1 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(tokens, start_tok,
+                start_tok + {_CHUNK_W} - 1)) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(tokens, start_tok,
+                start_tok + {_CHUNK_W} - 1), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def t24_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens
+
+    d = _docs_with_tokens(spark, sf_dir)
+    return chunk_by_tokens(
+        d.select("doc_id", "tokens"), "doc_id", "tokens",
+        window=_CHUNK_W, stride=_CHUNK_S,
+    )
+
+
+# ---------------------------------------------------------------------------
+# D11 — cross-document boilerplate detection (the C4/RefinedWeb
+# "repeated across too many pages" rule, shingle granularity because
+# this corpus has no line structure): a 3-shingle occurring in >= max(5,
+# 1% of docs) distinct documents is boilerplate; each document reports
+# how much of it is boilerplate (the per-doc filter signal). The
+# threshold is RELATIVE to corpus size — computed in-plan from the same
+# shingle table, one extra 1-row aggregate kept broadcast.
+# Shuffles: the d2-family distinct (doc, shingle) explode feeds BOTH the
+# df aggregate and the per-doc counts — one corpus-sized pass; the
+# boilerplate set is df-filtered vocabulary (tiny by Heaps' law + the
+# threshold) and AQE broadcasts the semi-join side.
+# ---------------------------------------------------------------------------
+_D11_MIN_DF = 5
+_D11_FRAC = 0.01
+
+
+@register(
+    "d11_boilerplate_shingles",
+    oracle=f"""
+    {_DUCK_DOC_SHINGLES},
+    dfq AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM tot
+    ), boiler AS (
+      SELECT shingle FROM dfq CROSS JOIN nd
+      WHERE df >= greatest({_D11_MIN_DF}, ceil({_D11_FRAC} * n_docs))
+    ), nb AS (
+      SELECT s.doc_id, count(*) AS n_boiler
+      FROM sh s JOIN boiler USING (shingle) GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+           {rnd_sql('coalesce(nb.n_boiler, 0) * 1.0 / t.n_shingles', 6)}
+             AS boiler_ratio
+    FROM tot t LEFT JOIN nb ON nb.doc_id = t.doc_id
+    """,
+)
+def d11_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nd = tot.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        dfq.crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(_D11_MIN_DF).cast("double"),
+                F.ceil(F.lit(_D11_FRAC) * F.col("n_docs")).cast("double"),
+            )
+        )
+        .select("shingle")
+    )
+    nb = sh.join(boiler, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    return (
+        tot.join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0))
+            .cast("long").alias("n_boiler"),
+            rnd(
+                F.coalesce(F.col("n_boiler"), F.lit(0)) * 1.0
+                / F.col("n_shingles"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMP8 — leakage-free train/val/test split: assign the split by the
+# NEAR-DUP CLUSTER (d6's connected components over the Jaccard >= 0.6
+# graph), not the document — so two near-duplicates can never land one
+# in train and one in test (the eval-contamination failure mode a plain
+# hash-of-doc_id split has by construction). Split membership is the
+# md5 variate of the cluster representative: deterministic, engine-
+# replayable, stable under repartitioning. Plan = d6's clustering (its
+# scale story is d6's: bucketed candidate generation, loop-pinned
+# min-label propagation) + ONE map-side split projection.
+# ---------------------------------------------------------------------------
+_SMP8_VAL = 0.05
+_SMP8_TEST = 0.05
+
+
+@register(
+    "smp8_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {_DUCK_DOC_SHINGLES_CAPPED.strip().removeprefix('WITH').strip()},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+      rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      pairs AS (
+        SELECT p.doc_a, p.doc_b FROM rawpairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE p.inter * 1.0 / (ca.n_sh + cb.n_sh - p.inter) >= 0.6
+      ),
+      und AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      walk(v, l) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.t, w.l FROM walk w JOIN und e ON e.s = w.v
+      ),
+      comp AS (
+        SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+        FROM walk GROUP BY v
+      )
+    SELECT doc_id, component,
+           CASE WHEN u < {_SMP8_TEST} THEN 'test'
+                WHEN u < {_SMP8_TEST + _SMP8_VAL} THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id, component,
+             {hash_uniform_sql('component', 'cluster_split')} AS u
+      FROM comp
+    )
+    """,
+)
+def smp8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.sampling import split_column
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    comp = connected_components(
+        d.select("doc_id"), pairs,
+        vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    )
+    return comp.select(
+        "doc_id", "component",
+        split_column(
+            F.col("component"), val_frac=_SMP8_VAL, test_frac=_SMP8_TEST,
+            salt="cluster_split",
+        ).alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMP9 — deterministic global shuffle (epoch curriculum order): every
+# training run needs a reproducible uniformly-shuffled example order;
+# at 100 TB "row_number() OVER (ORDER BY hash)" is the canonical
+# global-window scale-killer. operators/sampling.py::global_hash_order
+# computes the IDENTICAL dense positions in two levels (hash-range
+# buckets -> parallel per-bucket windows -> an n_buckets-row cumulative
+# offset broadcast back); the oracle replays the naive global
+# row_number, so hash equality here IS the proof the two-level plan
+# produces the exact global order.
+# ---------------------------------------------------------------------------
+@register(
+    "smp9_curriculum_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('curriculum' || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hk ASC, doc_id ASC) AS BIGINT)
+             AS position
+    FROM h
+    """,
+)
+def smp9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import global_hash_order
+
+    d = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
+    return global_hash_order(
+        d, "doc_id", salt="curriculum", n_buckets=64
+    ).select("doc_id", "position")

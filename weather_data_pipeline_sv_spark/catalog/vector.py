@@ -2105,3 +2105,42 @@ def v18_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", rnd("cos", 4).alias("cosine"), "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V19 — positional mean pooling (chunk/sentence-embedding aggregation):
+# average the vectors of each group elementwise — the standard pooling
+# that turns chunk embeddings back into a document embedding (or label
+# members into a class centroid, as here on the labeled corpus). Long
+# (group, pos) form is the hash-checked contract;
+# operators/chunking.py::mean_pool_vectors reassembles arrays when a
+# vector column is needed downstream (unit-tested equivalence).
+# Shuffle: ONE partial-agg exchange keyed on (group, pos) — key space
+# |groups| x dim, bounded by design; map-side combine collapses each
+# partition to one partial sum per key, so the exchange volume is
+# independent of corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "v19_mean_pool",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d)
+    SELECT label, CAST(d - 1 AS INTEGER) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {rnd_sql('avg(CAST(embedding[d] AS DOUBLE))', 6)} AS pooled
+    FROM embeddings CROSS JOIN dims
+    GROUP BY label, d
+    """,
+)
+def v19_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import mean_pool
+
+    e = ensure_min_parallelism(
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    )
+    out = mean_pool(e, "label", "embedding")
+    return out.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        rnd("pooled", 6).alias("pooled"),
+    )

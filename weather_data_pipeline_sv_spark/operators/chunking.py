@@ -1,0 +1,111 @@
+"""Token-window document chunking and chunk-vector pooling.
+
+Why: context-window preparation is a first-class step in every LLM data
+pipeline — long documents are split into overlapping token windows
+(chunks) for embedding, retrieval indexing, and packing; chunk vectors
+are then pooled back to document vectors (mean pooling is the standard
+sentence-embedding aggregation). Both ops are pure map-side /
+partial-agg DataFrame shapes — no Python boundary, no global state.
+
+Chunking scale shape: sequence() + explode is a per-row generator — the
+output is at most ceil(len/stride) rows per document, produced map-side
+with ZERO shuffles; at 100 TB the chunker is embarrassingly parallel
+and the only cost is the output volume itself (window/stride choose the
+overlap tax: window=32, stride=24 re-emits each token ~1.33x).
+
+Pooling scale shape: posexplode -> partial-agg mean keyed on
+(group, position). The key space is |groups| x dim — bounded by design,
+not by row count — and the map-side combine collapses each partition's
+contribution to one partial sum per key before the exchange, so the
+shuffle carries |groups| x dim rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document's token array into overlapping windows.
+
+    Chunk i covers tokens [1 + i*stride, 1 + i*stride + window) (1-based,
+    clamped at the end); every token belongs to at least one chunk, the
+    last chunk may be shorter than ``window``. Rows with an empty token
+    array produce no chunks. Returns (id, chunk_idx [1-based], start_tok,
+    n_chunk_tokens, chunk_text).
+    """
+    if stride < 1 or window < 1:
+        raise ValueError(f"window={window} and stride={stride} must be >= 1")
+    starts = F.sequence(
+        F.lit(1), F.size(F.col(tokens_col)), F.lit(stride)
+    )
+    out = (
+        df.filter(F.size(F.col(tokens_col)) >= 1)
+        .select(
+            F.col(id_col),
+            F.col(tokens_col),
+            F.explode(starts).alias("start_tok"),
+        )
+        .withColumn(
+            "chunk",
+            F.slice(F.col(tokens_col), F.col("start_tok"), window),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        ((F.col("start_tok") - 1) / stride + 1).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+    )
+
+
+def mean_pool(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Positional mean over vectors per group — long form.
+
+    Returns (group, pos [0-based], n_vecs, pooled) — one row per
+    (group, dimension). The long form is the hash-checkable contract;
+    reassemble arrays with :func:`mean_pool_vectors` when a vector
+    column is needed downstream.
+    """
+    e = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    return e.groupBy(group_col, "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(F.col("val").cast("double")).alias("pooled"),
+    )
+
+
+def mean_pool_vectors(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean-pooled vector per group, reassembled as array<double> in
+    dimension order (sort_array on the (pos, val) struct — position is
+    the leading struct field, so the sort restores dimension order
+    deterministically regardless of aggregation order)."""
+    pooled = mean_pool(df, group_col, vec_col)
+    return (
+        pooled.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("pooled")))
+                ),
+                lambda s: s.getField("pooled"),
+            ).alias("pooled_vec"),
+            F.max("n_vecs").alias("n_vecs"),
+        )
+    )

@@ -222,3 +222,66 @@ def weighted_sample_without_replacement(
         .filter(F.col("__wr") <= k)
         .withColumnRenamed("__wr", "sample_rank")
     )
+
+
+def global_hash_order(
+    df: DataFrame, key_col: str, salt: str = "shuffle",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle order WITHOUT a global window.
+
+    Trainers need every epoch's example order to be (a) uniformly
+    shuffled and (b) reproducible — at 100 TB that is "sort the corpus
+    by hash(key)", and the naive position assignment
+    ``row_number() OVER (ORDER BY hash)`` collapses the whole corpus
+    into ONE window partition: the canonical global-window scale-killer.
+
+    This computes the identical positions in two levels:
+
+    - bucket   = top bits of the 32-bit md5 hash (``h >> shift``) — a
+      RANGE of the sort key, so per-bucket orders concatenate into the
+      global order;
+    - rank     = row_number per bucket (parallel windows, each holding
+      ~1/n_buckets of the data);
+    - offset   = cumulative bucket sizes — an n_buckets-row aggregate,
+      windowed on the driver-sized side and broadcast back;
+    - position = offset + rank, exactly ``row_number() OVER (ORDER BY
+      h, key)`` — which is what the oracle replays.
+
+    Shuffle inventory: one exchange on bucket (uniform by construction —
+    md5 top bits), one tiny n_buckets-row aggregate, one broadcast join.
+    Nothing scales superlinearly; no partition ever holds more than the
+    bucket's ~N/n_buckets rows. Returns (df.*, position) with position
+    1-based and globally dense.
+    """
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets={n_buckets} must be a power of two")
+    shift = 32 - n_buckets.bit_length() + 1
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"),
+                           F.col(key_col).cast("string"))), 1, 8
+        ), 16, 10,
+    ).cast("bigint")
+    keyed = df.withColumn("__h", h).withColumn(
+        "__bucket", F.shiftright(F.col("__h"), shift)
+    )
+    wb = Window.partitionBy("__bucket").orderBy(
+        F.asc("__h"), F.asc(key_col)
+    )
+    ranked = keyed.withColumn("__rank", F.row_number().over(wb))
+    sizes = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__offset"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "position", (F.col("__offset") + F.col("__rank")).cast("long")
+        )
+        .drop("__h", "__bucket", "__rank", "__offset")
+    )
