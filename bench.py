@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "smp8_leakage_free_split",
     "smp9_curriculum_order",
     "v19_mean_pool",
+    "t25_bm25_persisted",
+    "t26_incremental_bm25",
+    "pipe7_retrieval_decontaminate",
 ]
 
 

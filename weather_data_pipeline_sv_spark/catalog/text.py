@@ -2939,9 +2939,7 @@ _BM25_QTERMS = 8
 _BM25_K = 5
 
 
-@register(
-    "t23_bm25_topk",
-    oracle=f"""
+_T23_ORACLE = f"""
     WITH tk AS (
       SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
     ), tocc AS (
@@ -2987,16 +2985,21 @@ _BM25_K = 5
     )
     SELECT query_id, doc_id, rank, {rnd_sql('score', 4)} AS bm25
     FROM rk WHERE rank <= {_BM25_K}
-    """,
-)
-def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import bm25_topk
+    """
 
+
+def _bm25_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, term) occurrences — the t23/t25/t26/pipe7 corpus."""
     d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
-    doc_terms = d.select(
+    return d.select(
         "doc_id", F.explode("tokens").alias("term")
     ).filter(F.col("term") != "")
-    query_terms = (
+
+
+def _bm25_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (query_id, term): first 8 tokens of every %100 doc."""
+    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    return (
         d.filter(F.col("doc_id") % _BM25_QMOD == 0)
         .select(
             F.col("doc_id").alias("query_id"),
@@ -3005,7 +3008,81 @@ def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .distinct()
     )
-    return bm25_topk(doc_terms, query_terms, k=_BM25_K)
+
+
+@register("t23_bm25_topk", oracle=_T23_ORACLE)
+def t23_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _bm25_doc_terms(spark, sf_dir),
+        _bm25_query_terms(spark, sf_dir),
+        k=_BM25_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T25 — persisted BM25 index + partition-pruned probe (the serving
+# shape, lexical twin of v11's persisted IVF index): postings and df are
+# WRITTEN partitioned by a term-hash bucket; a probe collects its query
+# terms' bucket set (query-sized, tiny by contract) and pushes it into
+# both scans as a parquet PartitionFilter — the probe reads
+# |query buckets| / 64 of the index no matter how large the corpus is.
+# The oracle is t23's VERBATIM (the d10-shares-d7 proof shape): a hash
+# match proves the persist/prune layer is result-invisible.
+# ---------------------------------------------------------------------------
+@register("t25_bm25_persisted", oracle=_T23_ORACLE)
+def t25_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import probe_bm25_index, write_bm25_index
+
+    root = tempfile.mkdtemp(prefix="wdp_bm25_index_")
+    try:
+        write_bm25_index(_bm25_doc_terms(spark, sf_dir), root)
+        out = probe_bm25_index(
+            spark, root, _bm25_query_terms(spark, sf_dir), k=_BM25_K
+        )
+        # pin before the index directory disappears (the pipe5 rule):
+        # the probe plan reads the persisted files lazily and the
+        # driver collects AFTER this function returns
+        return loop_cache(out, eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# T26 — incremental BM25 index maintenance theorem (the retrieval member
+# of the incremental ≡ batch franchise next to pipe3/t20/t22): the
+# corpus arrives as three disjoint doc_id slices, each slice aggregates
+# its OWN partials (tf is doc-local so per-slice tf is final; df and
+# (n_docs, total_len) are additive), the partials merge by SUM with
+# avgdl recomposed exactly as total_len/n_docs — and the merged index
+# scores the same query set. The oracle computes the ONE-SHOT t23, so
+# hash equality proves "updating a BM25 index for today's documents is a
+# partial-aggregate merge, never a rebuild" — at 1000 executors the
+# per-slice partials are exactly what each executor/day already holds.
+# ---------------------------------------------------------------------------
+@register("t26_incremental_bm25", oracle=_T23_ORACLE)
+def t26_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import (
+        bm25_score_topk,
+        merge_bm25_partials,
+        term_stats_partial,
+    )
+
+    doc_terms = _bm25_doc_terms(spark, sf_dir)
+    slices = [
+        doc_terms.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    parts = [term_stats_partial(sl) for sl in slices]
+    tf, df, stats = merge_bm25_partials(
+        [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts]
+    )
+    return bm25_score_topk(
+        tf, df, stats, _bm25_query_terms(spark, sf_dir), k=_BM25_K
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3238,3 +3315,104 @@ def smp9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_hash_order(
         d, "doc_id", salt="curriculum", n_buckets=64
     ).select("doc_id", "position")
+
+
+# ---------------------------------------------------------------------------
+# PIPE7 — decontamination by retrieval: the fuzzy companion of d7/d10
+# (exact n-gram overlap). Each benchmark/eval document (the d7 split,
+# doc_id % 17 == 0) issues a BM25 query built from its leading tokens;
+# any TRAINING document the query retrieves into its top-5 is flagged
+# contaminated — the "search your eval set against the corpus" sweep
+# production pipelines run when paraphrase-level leakage matters and
+# exact n-gram matching misses it. Output: one row per contaminated
+# training doc with how many eval queries hit it, its best rank, and its
+# best score — the triage signal (high n_hits + rank 1 = near-verbatim
+# leak; a single rank-5 hit = topical overlap to review).
+# Scale shape: t23's plan with the corpus/eval split applied before the
+# tf aggregate (eval set is corpus-fraction-sized; the retrieval is
+# pruned to posting lists of eval-query terms) + one per-doc partial agg
+# over the bounded (queries x k) hit set.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe7_retrieval_decontaminate",
+    oracle=f"""
+    WITH tk0 AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), tk AS (
+      SELECT * FROM tk0 WHERE len(tokens) > 0
+    ), tocc AS (
+      SELECT doc_id, unnest(tokens) AS term FROM tk
+      WHERE doc_id % {_DECON_MOD} <> 0
+    ), toc AS (
+      SELECT doc_id, term FROM tocc WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toc GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS doc_len FROM toc GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(doc_len AS DOUBLE)) AS avgdl
+      FROM dl
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id,
+               unnest(list_slice(tokens, 1, {_BM25_QTERMS})) AS term
+        FROM tk WHERE doc_id % {_DECON_MOD} = 0
+      ) WHERE term <> ''
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.doc_len / stats.avgdl))
+             ) AS score
+      FROM qt q
+      JOIN tf USING (term)
+      JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('score', 6)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM sc
+    ), hits AS (
+      SELECT query_id, doc_id, rank, {rnd_sql('score', 4)} AS bm25
+      FROM rk WHERE rank <= {_BM25_K}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(rank) AS INTEGER) AS best_rank,
+           max(bm25) AS best_bm25
+    FROM hits GROUP BY doc_id
+    """,
+)
+def pipe7_retrieval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    corpus_terms = (
+        d.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    eval_queries = (
+        d.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("tokens", 1, _BM25_QTERMS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    hits = bm25_topk(corpus_terms, eval_queries, k=_BM25_K)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("rank").cast("int").alias("best_rank"),
+        F.max("bm25").alias("best_bm25"),
+    )

@@ -66,25 +66,19 @@ def term_stats(doc_terms: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return tf, df, stats
 
 
-def bm25_topk(
-    doc_terms: DataFrame,
+def bm25_score_topk(
+    tf: DataFrame,
+    df: DataFrame,
+    stats: DataFrame,
     query_terms: DataFrame,
     k: int = 5,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Top-k documents per query by BM25.
-
-    ``doc_terms``: exploded (doc_id, term) rows — one row per term
-    OCCURRENCE (duplicates carry tf).
-    ``query_terms``: (query_id, term) rows — one row per DISTINCT query
-    term (callers dedupe; a repeated query term would double-count its
-    contribution, which classic BM25 does not).
-
-    Returns (query_id, doc_id, rank, bm25) with rank 1..k per query,
-    ties broken by doc_id ascending on the 6-dp-rounded score.
-    """
-    tf, df, stats = term_stats(doc_terms)
+    """Score + rank against prebuilt index tables (the shared core of
+    the from-scratch, persisted-index, and merged-partials paths — the
+    three produce hash-identical results by construction, which is what
+    t25/t26's shared oracle proves)."""
     postings = (
         query_terms.join(tf, "term")
         .join(df, "term")
@@ -115,3 +109,157 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", rnd("score", 4).alias("bm25"))
     )
+
+
+def bm25_topk(
+    doc_terms: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents per query by BM25, index built from scratch.
+
+    ``doc_terms``: exploded (doc_id, term) rows — one row per term
+    OCCURRENCE (duplicates carry tf).
+    ``query_terms``: (query_id, term) rows — one row per DISTINCT query
+    term (callers dedupe; a repeated query term would double-count its
+    contribution, which classic BM25 does not).
+
+    Returns (query_id, doc_id, rank, bm25) with rank 1..k per query,
+    ties broken by doc_id ascending on the 6-dp-rounded score.
+    """
+    tf, df, stats = term_stats(doc_terms)
+    return bm25_score_topk(tf, df, stats, query_terms, k=k, k1=k1, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Persisted index: the serving shape. Building tf/df per query batch is
+# fine for one-shot jobs; a retrieval SERVICE writes the index once and
+# probes it many times. Postings and df are written partitioned by a
+# term-hash bucket, so a probe reads ONLY the buckets its query terms
+# hash to — a parquet partition filter (PartitionFilters in the scan,
+# pinned in tests), the lexical twin of probe_ivf_index's list_id
+# pruning. The bucket hash is xxhash64 (JVM-side, never compared
+# cross-engine — it decides physical layout only; every VALUE the oracle
+# checks flows through the same md5/ln arithmetic as the from-scratch
+# path).
+# ---------------------------------------------------------------------------
+N_POSTING_BUCKETS = 64
+
+
+def _term_bucket(term, n_buckets: int):
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def write_bm25_index(
+    doc_terms: DataFrame, path: str, n_buckets: int = N_POSTING_BUCKETS
+) -> None:
+    """Write postings/df partitioned by term-hash bucket + 1-row stats.
+
+    Layout: ``{path}/postings/bucket=i/`` (doc_id, term, tf, doc_len),
+    ``{path}/_df/bucket=i/`` (term, df), ``{path}/_stats`` (n_docs,
+    avgdl). df and stats are plain additive aggregates, so incremental
+    maintenance is a partial-aggregate merge — see merge_bm25_partials.
+    """
+    tf, df, stats = term_stats(doc_terms)
+    (
+        tf.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        df.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{path}/_df")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def probe_bm25_index(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_buckets: int = N_POSTING_BUCKETS,
+) -> DataFrame:
+    """Top-k per query over a persisted index, reading only the buckets
+    the query terms hash to.
+
+    The probed bucket set is collected from the QUERY side — small by
+    contract (a probe batch, not a corpus) — and pushed into both scans
+    as an ``isin`` partition filter, so the postings read is
+    |query buckets| / n_buckets of the index regardless of corpus size.
+    """
+    buckets = [
+        r["bucket"]
+        for r in query_terms.select(
+            _term_bucket(F.col("term"), n_buckets).alias("bucket")
+        ).distinct().collect()
+    ]
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    df = (
+        spark.read.parquet(f"{path}/_df")
+        .filter(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    stats = spark.read.parquet(f"{path}/_stats")
+    return bm25_score_topk(tf, df, stats, query_terms, k=k, k1=k1, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: tf rows are per-document (append-only — a new
+# slice only ADDS rows), df is additive per term, and corpus stats are
+# additive as (n_docs, total_len). So "update the index for today's
+# documents" is a partial-aggregate MERGE, never a rebuild — the same
+# mergeable-summaries property the sketch family (t20/t22) proves for
+# HLL registers and bottom-k samples.
+# ---------------------------------------------------------------------------
+def term_stats_partial(doc_terms: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-slice partials: tf (final — doc-local), df_partial (term,
+    df), stats_partial (n_docs, total_len). Merge with
+    merge_bm25_partials."""
+    tf, df, _ = term_stats(doc_terms)
+    stats_partial = tf.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_len"),
+    )
+    return tf, df, stats_partial
+
+
+def merge_bm25_partials(
+    tfs: list[DataFrame],
+    dfs: list[DataFrame],
+    stats_partials: list[DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Merge per-slice partials into the full index tables. df merges by
+    SUM on term; stats merge as (sum n_docs, sum total_len) with avgdl
+    recomposed EXACTLY as total_len / n_docs (an average is not
+    mergeable, its (count, sum) decomposition is — the a14 rollup-
+    cascade rule). tf rows concatenate (doc_ids are disjoint across
+    slices by contract)."""
+    import functools
+
+    tf = functools.reduce(lambda a, b: a.unionByName(b), tfs)
+    df = (
+        functools.reduce(lambda a, b: a.unionByName(b), dfs)
+        .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats = (
+        functools.reduce(lambda a, b: a.unionByName(b), stats_partials)
+        .groupBy()
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (
+                F.sum("total_len").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    return tf, df, stats
