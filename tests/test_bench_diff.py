@@ -96,3 +96,29 @@ def test_compact_summary_artifact_rejected_with_pointer(tmp_path):
     assert r.returncode != 0
     assert "compact summary" in r.stderr
     assert "BENCH_LOCAL" in r.stderr
+
+
+def test_cpu_breach_with_wall_in_noise_floor_is_not_fatal(tmp_path):
+    """Round-7 attribution class: suite-shared-JVM GC bleeds CPU into a
+    light query's window while its wall stays flat (or improves) — warn,
+    don't fail. Any regression the old wall gate would catch (wall delta
+    > min_delta) still fails (see test_cpu_regression_is_fatal)."""
+    old = _art(tmp_path / "o.json", {"q": 0.70}, {"q": 1.1})
+    new = _art(tmp_path / "n.json", {"q": 0.71}, {"q": 3.6})  # c15 shape
+    r = _run(old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "attribution class" in r.stdout
+    assert "OK: no cpu regression" in r.stdout
+    # wall improved outright: same class
+    new2 = _art(tmp_path / "n2.json", {"q": 0.42}, {"q": 2.3})
+    r = _run(old, new2)
+    assert r.returncode == 0
+    assert "attribution class" in r.stdout
+
+
+def test_cpu_breach_with_wall_past_noise_floor_is_fatal(tmp_path):
+    old = _art(tmp_path / "o.json", {"q": 0.70}, {"q": 1.1})
+    new = _art(tmp_path / "n.json", {"q": 1.40}, {"q": 3.6})  # wall +0.7
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "REGRESSION" in r.stdout
