@@ -190,6 +190,37 @@ def _tree_cpu_seconds() -> float:
         return float("nan")
 
 
+
+def measure_best(run_fn, n_runs: int) -> tuple[float, float | None]:
+    """THE measurement protocol, shared by bench.py and tools/wx_bench.py
+    so the two can never drift: min-over-runs wall paired with the CPU of
+    the SAME run that won on wall (a matched (wall, cpu) pair is what
+    makes steal visible; a min over mismatched runs is not). The tree CPU
+    sum is NOT monotonic — a descendant whose parent dies mid-window
+    reparents to PID 1 and leaves the walked tree, taking its accumulated
+    CPU with it (r06 shipped 4 negative per-query CPU values this way) —
+    so a negative delta is a measurement failure, not a measurement:
+    recorded as None, and the entry wall-gates in tools/bench_diff.py per
+    the documented no-cpu fallback. A non-Linux /proc miss yields nan ->
+    None the same way (callers must emit null, never a bare NaN literal —
+    invalid JSON, and the driver parser is what the two-line stdout
+    contract protects)."""
+    best = best_cpu = None
+    for _ in range(n_runs):
+        c0 = _tree_cpu_seconds()
+        t0 = time.perf_counter()
+        run_fn()
+        dt = time.perf_counter() - t0
+        dc = _tree_cpu_seconds() - c0
+        if dc < 0:
+            dc = float("nan")
+        if best is None or dt < best:
+            best, best_cpu = dt, dc
+    return round(best, 3), (
+        round(best_cpu, 3) if best_cpu == best_cpu else None
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -261,37 +292,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     cpu_timings: dict[str, float] = {}
     for name in names:
-        best = None
-        best_cpu = None
-        for _ in range(N_RUNS):
-            c0 = _tree_cpu_seconds()
-            t0 = time.perf_counter()
+
+        def _run(name=name):
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.perf_counter() - t0
-            dc = _tree_cpu_seconds() - c0
-            # The tree sum is NOT monotonic: a descendant whose parent
-            # dies mid-window reparents to PID 1 and leaves the walked
-            # tree, taking its accumulated CPU with it (r06 shipped 4
-            # negative per-query CPU values this way). A negative delta
-            # is a measurement failure, not a measurement — record the
-            # window as missing (None below), so the entry wall-gates in
-            # tools/bench_diff.py per the documented no-cpu fallback.
-            if dc < 0:
-                dc = float("nan")
-            # CPU of the SAME run that won on wall — a matched
-            # (wall, cpu) pair is what makes steal visible, a min over
-            # mismatched runs is not
-            if best is None or dt < best:
-                best, best_cpu = dt, dc
-        timings[name] = round(best, 3)
-        # a non-Linux /proc miss yields nan — record null, never emit the
-        # bare NaN literal json.dumps would produce (invalid JSON, and the
-        # driver's parser is exactly what the two-line contract protects)
-        cpu_timings[name] = (
-            round(best_cpu, 3) if best_cpu == best_cpu else None
-        )
+
+        timings[name], cpu_timings[name] = measure_best(_run, N_RUNS)
         # liveness/progress to STDERR only: stdout must carry nothing but
         # the final JSON line (the driver tail-captures stdout and parses
         # the last line — BENCH_r04.json came back "parsed": null when

@@ -350,3 +350,44 @@ def test_pipe7_never_flags_eval_docs(spark, sf_dir):
         assert r["doc_id"] % 17 != 0  # eval docs are not in the corpus
         assert 1 <= r["best_rank"] <= 5
         assert r["n_hits"] >= 1
+
+
+def test_probe_uses_index_bucket_stamp(spark, tmp_path):
+    """The probe must hash with the INDEX's stamped n_buckets, not a
+    caller default — a layout mismatch would silently prune to wrong
+    directories and miss postings."""
+    from weather_data_pipeline_sv_spark.operators.retrieval import (
+        bm25_topk,
+        probe_bm25_index,
+        write_bm25_index,
+    )
+
+    doc_terms = _toy_doc_terms(spark)
+    qt = spark.createDataFrame(
+        [(0, "cat"), (0, "sat"), (1, "weather")], ["query_id", "term"]
+    )
+    path = str(tmp_path / "bm25_idx16")
+    write_bm25_index(doc_terms, path, n_buckets=16)  # != the 64 default
+    probed = sorted(
+        map(tuple, probe_bm25_index(spark, path, qt, k=10).collect())
+    )
+    scratch = sorted(map(tuple, bm25_topk(doc_terms, qt, k=10).collect()))
+    assert probed == scratch
+
+
+def test_probe_rejects_unstamped_index(spark, tmp_path):
+    from weather_data_pipeline_sv_spark.operators.retrieval import (
+        probe_bm25_index,
+        term_stats,
+        write_bm25_index,
+    )
+
+    doc_terms = _toy_doc_terms(spark)
+    qt = spark.createDataFrame([(0, "cat")], ["query_id", "term"])
+    path = str(tmp_path / "bm25_old_layout")
+    write_bm25_index(doc_terms, path)
+    # simulate an older/foreign layout: stats without the stamp
+    _, _, stats = term_stats(doc_terms)
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+    with pytest.raises(ValueError, match="n_buckets stamp"):
+        probe_bm25_index(spark, path, qt)

@@ -191,9 +191,10 @@ def write_dir(
         cols = [f.name for f in schema.fields]
         assert df.columns == cols, (name, df.columns, cols)
         out = df.coalesce(1) if single else df
-        # keep the generator's time order within files (sortWithinPartitions
-        # would re-shuffle nothing: range() output is already ordered; the
-        # repartition below is by contiguous range, preserving it)
+        # the generator's time order within files is preserved as-is:
+        # range() output is already ordered and the plain write keeps
+        # partition-local order (coalesce(1) concatenates in partition
+        # order) — no sort or repartition needed
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     meta = {"n_stations": n_stations, "days": days, "n_postal": n_postal,
             "base_ts": BASE_TS}

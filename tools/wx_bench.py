@@ -34,11 +34,10 @@ import datetime as dt
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _tree_cpu_seconds
+from bench import measure_best
 from weather_data_pipeline_sv_spark.plans import schemas
 from weather_data_pipeline_sv_spark.plans.pipeline import run_transform
 from weather_data_pipeline_sv_spark.plans.queries import (
@@ -164,19 +163,8 @@ def main() -> None:
         }
         timings, cpu = {}, {}
         for name, fn in ents.items():
-            best = best_cpu = None
-            for _ in range(n_runs):
-                c0 = _tree_cpu_seconds()
-                t0 = time.perf_counter()
-                fn()
-                w = time.perf_counter() - t0
-                c = _tree_cpu_seconds() - c0
-                if c < 0:  # non-monotonic window -> missing (bench.py rule)
-                    c = float("nan")
-                if best is None or w < best:
-                    best, best_cpu = w, c
-            timings[name] = round(best, 3)
-            cpu[name] = round(best_cpu, 3) if best_cpu == best_cpu else None
+            # the ONE measurement protocol, shared with bench.py
+            timings[name], cpu[name] = measure_best(fn, n_runs)
             print(f"[wx-bench] {d} {name}: {timings[name]} s wall, "
                   f"{cpu[name]} s cpu", file=sys.stderr, flush=True)
         results[d] = {**rows, "wall_s": timings, "cpu_s": cpu}

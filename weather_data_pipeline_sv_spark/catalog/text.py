@@ -2988,19 +2988,28 @@ _T23_ORACLE = f"""
     """
 
 
-def _bm25_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, term) occurrences — the t23/t25/t26/pipe7 corpus."""
+def _bm25_doc_terms(
+    spark: SparkSession, sf_dir: str, exclude_mod: int | None = None
+) -> DataFrame:
+    """Exploded (doc_id, term) occurrences — the t23/t25/t26/pipe7
+    corpus. ``exclude_mod`` drops the doc_id % exclude_mod == 0 docs
+    (pipe7's eval split) so the rules stay in lockstep with the t23
+    oracle across every consumer."""
     d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    if exclude_mod is not None:
+        d = d.filter(F.col("doc_id") % exclude_mod != 0)
     return d.select(
         "doc_id", F.explode("tokens").alias("term")
     ).filter(F.col("term") != "")
 
 
-def _bm25_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (query_id, term): first 8 tokens of every %100 doc."""
+def _bm25_query_terms(
+    spark: SparkSession, sf_dir: str, mod: int = _BM25_QMOD
+) -> DataFrame:
+    """Distinct (query_id, term): first 8 tokens of every %mod doc."""
     d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
     return (
-        d.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        d.filter(F.col("doc_id") % mod == 0)
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.slice("tokens", 1, _BM25_QTERMS)).alias("term"),
@@ -3395,21 +3404,8 @@ def smp9_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe7_retrieval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
-    d = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
-    corpus_terms = (
-        d.filter(F.col("doc_id") % _DECON_MOD != 0)
-        .select("doc_id", F.explode("tokens").alias("term"))
-        .filter(F.col("term") != "")
-    )
-    eval_queries = (
-        d.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.slice("tokens", 1, _BM25_QTERMS)).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    corpus_terms = _bm25_doc_terms(spark, sf_dir, exclude_mod=_DECON_MOD)
+    eval_queries = _bm25_query_terms(spark, sf_dir, mod=_DECON_MOD)
     hits = bm25_topk(corpus_terms, eval_queries, k=_BM25_K)
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits"),

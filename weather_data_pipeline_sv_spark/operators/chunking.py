@@ -46,6 +46,13 @@ def chunk_by_tokens(
     """
     if stride < 1 or window < 1:
         raise ValueError(f"window={window} and stride={stride} must be >= 1")
+    if stride > window:
+        # the full-coverage contract above would silently drop the
+        # tokens between window ends and the next start
+        raise ValueError(
+            f"stride={stride} > window={window} would leave gaps — every "
+            "token must belong to at least one chunk"
+        )
     starts = F.sequence(
         F.lit(1), F.size(F.col(tokens_col)), F.lit(stride)
     )

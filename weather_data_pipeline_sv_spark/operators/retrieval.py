@@ -159,8 +159,17 @@ def write_bm25_index(
 
     Layout: ``{path}/postings/bucket=i/`` (doc_id, term, tf, doc_len),
     ``{path}/_df/bucket=i/`` (term, df), ``{path}/_stats`` (n_docs,
-    avgdl). df and stats are plain additive aggregates, so incremental
-    maintenance is a partial-aggregate merge — see merge_bm25_partials.
+    avgdl, n_buckets). df and stats are plain additive aggregates, so
+    incremental maintenance is a partial-aggregate merge — see
+    merge_bm25_partials.
+
+    ``n_buckets`` is stamped into ``_stats`` and read back by
+    :func:`probe_bm25_index`: a probe hashing terms with a different
+    bucket count than the one the index was laid out with would prune
+    to the WRONG directories and silently miss postings (the
+    cms_estimate build-parameter-mismatch class) — stamping makes the
+    layout parameter travel with the index instead of relying on two
+    call sites agreeing.
     """
     tf, df, stats = term_stats(doc_terms)
     (
@@ -173,7 +182,10 @@ def write_bm25_index(
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{path}/_df")
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+    (
+        stats.withColumn("n_buckets", F.lit(n_buckets).cast("int"))
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+    )
 
 
 def probe_bm25_index(
@@ -183,16 +195,49 @@ def probe_bm25_index(
     k: int = 5,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    n_buckets: int = N_POSTING_BUCKETS,
 ) -> DataFrame:
     """Top-k per query over a persisted index, reading only the buckets
     the query terms hash to.
+
+    The bucket count comes from the INDEX's own ``_stats`` stamp (see
+    write_bm25_index) — never from a caller parameter, so a probe can't
+    hash terms against a different layout than the one on disk and
+    silently read the wrong (or no) postings.
 
     The probed bucket set is collected from the QUERY side — small by
     contract (a probe batch, not a corpus) — and pushed into both scans
     as an ``isin`` partition filter, so the postings read is
     |query buckets| / n_buckets of the index regardless of corpus size.
+
+    The query plan is pinned (loop_cache) before the bucket collect:
+    without it the query DERIVATION — which in t25/pipe7-shaped use is a
+    corpus-sized tokenize/explode/distinct — would execute twice, once
+    for the bucket list and again inside the scoring join. The collected
+    stats row is likewise re-injected as an in-plan literal rather than
+    re-reading ``_stats`` at action time.
     """
+    from ..functions.caching import loop_cache
+
+    stats_rows = spark.read.parquet(f"{path}/_stats").collect()
+    if not stats_rows:
+        # write_bm25_index always writes exactly one stats row (a global
+        # aggregate emits one row even for an empty corpus) — an empty
+        # _stats means a corrupted or partially-written index; fail
+        # loudly rather than serving an empty result
+        raise ValueError(f"{path}/_stats is empty — corrupted index")
+    srow = stats_rows[0].asDict()
+    if srow.get("n_buckets") is None:
+        raise ValueError(
+            f"{path}/_stats carries no n_buckets stamp — not a "
+            "write_bm25_index layout (or written by an older version); "
+            "re-write the index"
+        )
+    n_buckets = int(srow["n_buckets"])
+    stats = spark.createDataFrame(
+        [(int(srow["n_docs"]), float(srow["avgdl"] or 0.0))],
+        "n_docs long, avgdl double",
+    )
+    query_terms = loop_cache(query_terms, eager=True)
     buckets = [
         r["bucket"]
         for r in query_terms.select(
@@ -209,7 +254,6 @@ def probe_bm25_index(
         .filter(F.col("bucket").isin(buckets))
         .drop("bucket")
     )
-    stats = spark.read.parquet(f"{path}/_stats")
     return bm25_score_topk(tf, df, stats, query_terms, k=k, k1=k1, b=b)
 
 
