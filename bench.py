@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "t25_bm25_persisted",
     "t26_incremental_bm25",
     "pipe7_retrieval_decontaminate",
+    "pipe8_chunk_dedup",
 ]
 
 

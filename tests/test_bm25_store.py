@@ -1,0 +1,109 @@
+"""Incremental BM25 index store: streaming maintenance ≡ one-shot
+rebuild (t26's algebra as a live store), exactly-once replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_sv_spark.operators.retrieval import (
+    Bm25IndexStore,
+    bm25_index_stream,
+    bm25_topk,
+)
+
+DOCS = [
+    (1, "en", "the cat sat on the mat"),
+    (2, "en", "the dog sat"),
+    (3, "en", "cats and dogs"),
+    (4, "en", "weather data pipeline"),
+    (5, "en", "the cat and the dog"),
+    (6, "en", "data pipeline weather data"),
+]
+
+
+def _doc_terms(spark, docs):
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    return (
+        df.withColumn("tokens", F.expr("split(trim(lower(text)), '\\\\s+')"))
+        .filter(F.size("tokens") > 0)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(0, "cat"), (0, "sat"), (1, "data"), (1, "weather")],
+        ["query_id", "term"],
+    )
+
+
+def test_store_matches_one_shot_rebuild(spark, tmp_path):
+    store = Bm25IndexStore(spark, str(tmp_path / "idx"))
+    # ingest in three disjoint slices
+    for i, sl in enumerate((DOCS[:2], DOCS[2:4], DOCS[4:])):
+        assert store.append(_doc_terms(spark, sl), batch_id=i)
+    got = sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(_doc_terms(spark, DOCS), _queries(spark), k=10)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert store.applied_batch_ids() == [0, 1, 2]
+
+
+def test_append_replay_is_noop(spark, tmp_path):
+    store = Bm25IndexStore(spark, str(tmp_path / "idx2"))
+    assert store.append(_doc_terms(spark, DOCS[:3]), batch_id=0)
+    before = sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    )
+    # a foreachBatch retry re-appends the same id — must write nothing
+    assert store.append(_doc_terms(spark, DOCS[:3]), batch_id=0) is False
+    after = sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    )
+    assert before == after and store.applied_batch_ids() == [0]
+
+
+def test_streaming_front_end_matches_batch(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # one parquet file per "day"
+    for i, sl in enumerate((DOCS[:2], DOCS[2:4], DOCS[4:])):
+        spark.createDataFrame(sl, ["doc_id", "lang", "text"]).coalesce(
+            1
+        ).write.parquet(str(src / f"day{i}"))
+    store_root = str(tmp_path / "idx3")
+    q = bm25_index_stream(
+        spark, str(src / "*"), store_root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    store = Bm25IndexStore(spark, store_root)
+    assert store.applied_batch_ids()  # at least one micro-batch landed
+    got = sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(_doc_terms(spark, DOCS), _queries(spark), k=10)
+            .collect(),
+        )
+    )
+    assert got == want
+    # resume: a second availableNow run over the same input adds nothing
+    q2 = bm25_index_stream(
+        spark, str(src / "*"), store_root, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        map(tuple, Bm25IndexStore(spark, store_root).topk(
+            _queries(spark), k=10
+        ).collect())
+    ) == want

@@ -391,3 +391,40 @@ def test_probe_rejects_unstamped_index(spark, tmp_path):
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
     with pytest.raises(ValueError, match="n_buckets stamp"):
         probe_bm25_index(spark, path, qt)
+
+
+def test_pipe8_keeper_semantics(spark, sf_dir):
+    """Exact-dup docs chunk identically: the smallest doc_id keeps its
+    chunks, later copies' chunks are all duplicates."""
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+    from weather_data_pipeline_sv_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+    from pyspark.sql import Window
+
+    toks = [f"w{i}" for i in range(1, 40)]
+    df = spark.createDataFrame(
+        [(1, toks), (2, toks), (3, ["unique", "tokens", "here"])],
+        ["doc_id", "tokens"],
+    )
+    chunks = chunk_by_tokens(df).select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+    rk = chunks.withColumn("rn", F.row_number().over(w))
+    per_doc = {
+        r["doc_id"]: (r["n"], r["dups"])
+        for r in rk.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dups"),
+        )
+        .collect()
+    }
+    assert per_doc[1][1] == 0                  # keeper
+    assert per_doc[2] == (per_doc[1][0], per_doc[1][0])  # all dups
+    assert per_doc[3][1] == 0                  # unique content
+
+    # the catalog entry is non-degenerate on shared testdata
+    out = all_queries()["pipe8_chunk_dedup"](spark, sf_dir)
+    assert out.agg(F.sum("n_dup")).collect()[0][0] > 0

@@ -3412,3 +3412,68 @@ def pipe7_retrieval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("rank").cast("int").alias("best_rank"),
         F.max("bm25").alias("best_bm25"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPE8 — chunk-level exact dedup (t24 ∘ d1): dedup at the CONTEXT-WINDOW
+# granularity instead of the document — the shape used when near-identical
+# documents share long runs (mirrors, templated pages, quoted passages)
+# and document-level dedup either drops too much or misses the overlap.
+# Every chunk is fingerprinted (md5 of its text); per fingerprint the
+# KEEPER is the smallest (doc_id, chunk_idx); every other occurrence is a
+# duplicate. Output is the per-document triage signal (n_chunks, n_dup,
+# dup_ratio) a pipeline thresholds on.
+# Scale shape: t24's zero-shuffle chunker, then ONE exchange keyed on the
+# fingerprint (uniform by construction — md5) for the keeper window, then
+# a per-doc partial agg. Fingerprint groups are tiny (dup families), so
+# the window state is bounded; nothing is quadratic and no global
+# structure exists.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe8_chunk_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), st AS (
+      SELECT doc_id, tokens,
+             unnest(generate_series(1, len(tokens), {_CHUNK_S})) AS start_tok
+      FROM tk WHERE len(tokens) >= 1
+    ), ch AS (
+      SELECT doc_id,
+             CAST((start_tok - 1) // {_CHUNK_S} + 1 AS BIGINT) AS chunk_idx,
+             md5(array_to_string(list_slice(tokens, start_tok,
+                  start_tok + {_CHUNK_W} - 1), ' ')) AS h
+      FROM st
+    ), rk AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (
+               PARTITION BY h ORDER BY doc_id ASC, chunk_idx ASC
+             ) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           {rnd_sql('sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0'
+                    ' / count(*)', 6)} AS dup_ratio
+    FROM rk GROUP BY doc_id
+    """,
+)
+def pipe8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens
+
+    d = _docs_with_tokens(spark, sf_dir)
+    chunks = chunk_by_tokens(
+        d.select("doc_id", "tokens"), "doc_id", "tokens",
+        window=_CHUNK_W, stride=_CHUNK_S,
+    ).select("doc_id", "chunk_idx", F.md5("chunk_text").alias("h"))
+    w = Window.partitionBy("h").orderBy(
+        F.asc("doc_id"), F.asc("chunk_idx")
+    )
+    rk = chunks.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return rk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(dup).cast("long").alias("n_dup"),
+        rnd(F.sum(dup) * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )

@@ -307,3 +307,153 @@ def merge_bm25_partials(
         )
     )
     return tf, df, stats
+
+
+# ---------------------------------------------------------------------------
+# Streaming index maintenance: t26's merge algebra as a live store. Each
+# arriving micro-batch of documents contributes its PARTIALS (tf rows —
+# doc-local, so per-batch final — plus the additive df and (n_docs,
+# total_len)); a probe merges the partials at read time. Because the
+# merge is exact (t26, oracle-proven), the store answers queries
+# IDENTICALLY to a from-scratch index over everything ingested so far —
+# with per-day write cost O(slice), never a rebuild.
+# ---------------------------------------------------------------------------
+TF_SCHEMA = "doc_id long, term string, tf long, doc_len long"
+DF_SCHEMA = "term string, df long"
+STATS_SCHEMA = "n_docs long, total_len long"
+
+
+class Bm25IndexStore:
+    """Parquet-backed incremental BM25 index under ``root/batches/``:
+    one directory per applied batch holding ``tf/`` ``df_partial/``
+    ``stats_partial/``. The per-batch directory is the EXACTLY-ONCE
+    unit (the CorpusStore rule): all three tables land in one staging
+    directory and publish with a single atomic rename, so a
+    foreachBatch retry either sees the whole batch (no-op) or none of
+    it. Batches must carry disjoint doc_ids (the t26 contract —
+    re-ingesting a document would double-count it in df/stats)."""
+
+    _TABLES = ("tf", "df_partial", "stats_partial")
+
+    def __init__(self, spark, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self._batches_dir = os.path.join(root, "batches")
+
+    def applied_batch_ids(self) -> list[int]:
+        import os
+
+        if not os.path.isdir(self._batches_dir):
+            return []
+        return sorted(
+            int(e)
+            for e in os.listdir(self._batches_dir)
+            if not e.startswith(("_", "."))
+        )
+
+    def _read(self, name: str, schema: str) -> DataFrame:
+        import os
+
+        paths = [
+            os.path.join(self._batches_dir, str(b), name)
+            for b in self.applied_batch_ids()
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def index_tables(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(tf, df, stats) merged across every applied batch — the t26
+        partial-aggregate merge, evaluated lazily over the store's
+        parquet."""
+        tf = self._read("tf", TF_SCHEMA)
+        df = (
+            self._read("df_partial", DF_SCHEMA)
+            .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+        )
+        stats = (
+            self._read("stats_partial", STATS_SCHEMA)
+            .groupBy()
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                (
+                    F.sum("total_len").cast("double")
+                    / F.sum("n_docs").cast("double")
+                ).alias("avgdl"),
+            )
+        )
+        return tf, df, stats
+
+    def topk(
+        self, query_terms: DataFrame, k: int = 5,
+        k1: float = BM25_K1, b: float = BM25_B,
+    ) -> DataFrame:
+        tf, df, stats = self.index_tables()
+        return bm25_score_topk(tf, df, stats, query_terms, k=k, k1=k1, b=b)
+
+    def append(
+        self, doc_terms: DataFrame, batch_id: int | None = None
+    ) -> bool:
+        """Aggregate one batch's partials and publish them exactly once.
+        Returns False (nothing written) when the batch id is already
+        published — the foreachBatch-retry no-op."""
+        import os
+
+        from ..functions.caching import loop_cache
+        from ..sources.writers import atomic_rename_dir
+
+        applied = self.applied_batch_ids()
+        bid = batch_id if batch_id is not None else (applied or [-1])[-1] + 1
+        final = os.path.join(self._batches_dir, str(bid))
+        if os.path.isdir(final):
+            return False
+        tf, df, stats = term_stats_partial(doc_terms)
+        pinned = {
+            "tf": loop_cache(tf),
+            "df_partial": loop_cache(df),
+            "stats_partial": loop_cache(stats),
+        }
+        staging = os.path.join(self.root, f"_staging_batch_{bid}")
+        for name in self._TABLES:
+            pinned[name].write.mode("overwrite").parquet(
+                os.path.join(staging, name)
+            )
+        return atomic_rename_dir(self.spark, staging, final)
+
+
+def bm25_index_stream(
+    spark,
+    input_dir: str,
+    store_root: str,
+    checkpoint: str,
+    doc_schema: str = "doc_id long, lang string, text string",
+    tokens_expr: str = "split(trim(lower(text)), '\\\\s+')",
+):
+    """Structured-Streaming front end for the incremental index: new
+    document files land in ``input_dir``; each micro-batch is tokenized
+    and its partials appended. availableNow + checkpoint resumes;
+    the micro-batch id names the batch directory, so a retry after any
+    partial failure is a no-op (the incremental_corpus_stream rule)."""
+    stream = spark.readStream.schema(doc_schema).parquet(input_dir)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        doc_terms = (
+            batch.withColumn("tokens", F.expr(tokens_expr))
+            .filter(F.size("tokens") > 0)
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .filter(F.col("term") != "")
+        )
+        Bm25IndexStore(batch.sparkSession, store_root).append(
+            doc_terms, batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
