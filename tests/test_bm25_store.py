@@ -107,3 +107,36 @@ def test_streaming_front_end_matches_batch(spark, tmp_path):
             _queries(spark), k=10
         ).collect())
     ) == want
+
+
+def test_compaction_preserves_results_and_resets_sequence(spark, tmp_path):
+    store = Bm25IndexStore(spark, str(tmp_path / "idx4"))
+    assert store.compact() is False  # empty store: no-op
+    for i, sl in enumerate((DOCS[:2], DOCS[2:4])):
+        store.append(_doc_terms(spark, sl), batch_id=i)
+    before = sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    )
+    assert store.compact() is True
+    assert store.applied_batch_ids() == [0]  # folded into one batch
+    assert sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    ) == before
+    # appends continue after compaction; the full store still equals the
+    # one-shot index over everything ingested
+    store.append(_doc_terms(spark, DOCS[4:]))
+    got = sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(_doc_terms(spark, DOCS), _queries(spark), k=10)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert store.compact() is True  # idempotent second fold works too
+    assert sorted(
+        map(tuple, store.topk(_queries(spark), k=10).collect())
+    ) == want

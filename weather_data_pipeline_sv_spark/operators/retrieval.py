@@ -423,6 +423,48 @@ class Bm25IndexStore:
             )
         return atomic_rename_dir(self.spark, staging, final)
 
+    def compact(self) -> bool:
+        """Fold every applied batch into a single ``batches/0`` — the
+        1000-batch answer: the same merge algebra a probe runs at read time
+        (tf rows concatenate; df_partial sums by term; stats_partial sums),
+        materialized once so read fan-in drops back to one directory per
+        table. The rebuilt tables lazily READ the current batches; the
+        staging write below fully materializes them before the
+        backup-rename swap (``sources.writers.replace_dir``) mutates
+        anything, so a crash before the swap leaves the store untouched and
+        the swap itself keeps the old state recoverable at
+        ``batches.replaced`` (run compaction out-of-band of probes, the
+        VectorStore.retrain rule). No-op (False) when the store has one or
+        zero batches. Subsequent appends restart the exactly-once sequence
+        after batch 0."""
+        import os
+
+        from ..functions.caching import loop_cache
+        from ..sources.writers import replace_dir
+
+        if len(self.applied_batch_ids()) <= 1:
+            return False
+        tf = loop_cache(self._read("tf", TF_SCHEMA))
+        dfp = loop_cache(
+            self._read("df_partial", DF_SCHEMA)
+            .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+        )
+        stp = loop_cache(
+            self._read("stats_partial", STATS_SCHEMA)
+            .groupBy()
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_len").cast("long").alias("total_len"),
+            )
+        )
+        staging = os.path.join(self.root, "_compacting")
+        for name, d in (("tf", tf), ("df_partial", dfp), ("stats_partial", stp)):
+            d.write.mode("overwrite").parquet(os.path.join(staging, "0", name))
+        replace_dir(self.spark, staging, self._batches_dir)
+        return True
+
+
+
 
 def bm25_index_stream(
     spark,
@@ -457,3 +499,4 @@ def bm25_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
