@@ -256,6 +256,44 @@ def test_grid_spatial_path_equals_broadcast(spark, bronze, data_type,
         gold_with("bogus").collect()
 
 
+def test_auto_selector_point_side_crossover(spark, bronze, monkeypatch):
+    """'auto' decides on BOTH sides of the BNL cost product (round-7
+    verdict #2): |points| x |centroids| haversines. At fixture scale the
+    product sits far below BROADCAST_MAX_PROBE_PAIRS -> broadcast; with
+    the pair budget shrunk, the SAME data must select grid (this is the
+    wx30 configuration in miniature: tiny dim, big fact) — and the
+    centroid cap alone must also still force grid. Results are pinned
+    identical across the selection, so the heuristic is purely
+    physical."""
+    from weather_data_pipeline_sv_spark.plans import aggregation as agg_mod
+
+    stg = clean_observations(bronze["raw_weather_observations"], ASOF, 168)
+
+    def gold_auto():
+        return aggregate_to_postal_codes(
+            stg, bronze["weather_stations"], bronze["postal_codes"],
+            "observation", ASOF, lookback_hours=168, spatial_join="auto",
+        ).select(*GOLD_COMPARE_COLS)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    base = gold_auto()
+    assert "BroadcastNestedLoopJoin" in plan_of(base)  # broadcast chosen
+    want = _rows([tuple(r) for r in base.collect()])
+
+    monkeypatch.setattr(agg_mod, "BROADCAST_MAX_PROBE_PAIRS", 0)
+    by_pairs = gold_auto()
+    assert "BroadcastNestedLoopJoin" not in plan_of(by_pairs)  # grid chosen
+    assert _rows([tuple(r) for r in by_pairs.collect()]) == want
+
+    monkeypatch.setattr(agg_mod, "BROADCAST_MAX_PROBE_PAIRS", 10**18)
+    monkeypatch.setattr(agg_mod, "BROADCAST_MAX_CENTROIDS", 0)
+    by_dim = gold_auto()
+    assert "BroadcastNestedLoopJoin" not in plan_of(by_dim)  # grid chosen
+    assert _rows([tuple(r) for r in by_dim.collect()]) == want
+
+
 def test_grid_path_rejects_polar_centroids(spark, bronze):
     """bucketed_range_join clamps lon replication beyond |lat| 75 and
     would silently drop near-polar matches — the operator now RAISES at

@@ -85,6 +85,11 @@ def entries(spark, t: dict) -> dict:
         .write.format("noop").mode("overwrite").save(),
         "wx_pipeline_grid": lambda: gold("grid")
         .write.format("noop").mode("overwrite").save(),
+        # the selector itself: must track min(broadcast, grid) at every
+        # dir — broadcast at wx1/wx10, grid at wx30 (the measured
+        # point-side crossover the auto heuristic now encodes)
+        "wx_pipeline_auto": lambda: gold("auto")
+        .write.format("noop").mode("overwrite").save(),
         "wx_flagship_history": lambda: weather_history(
             gold("broadcast"), FLAGSHIP_PLZ, "observation", asof, 24
         ).collect(),

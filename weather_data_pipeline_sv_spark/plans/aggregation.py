@@ -19,8 +19,11 @@ group-by, keyed on (postal_code, hour) — high cardinality, well spread.
 ``spatial_join`` selects the fan-out strategy: "broadcast" (the
 reference-scale default — broadcast NL + haversine filter), "grid"
 (``operators/spatial.py::bucketed_range_join``, the X4 equi-join path
-for a postal dim too big to broadcast), or "auto" (count the dim —
-one cheap job — and pick; crossover at ``BROADCAST_MAX_CENTROIDS``).
+for a postal dim too big to broadcast), or "auto" (count the dim AND
+the windowed fact — two cheap jobs — and pick; grid past
+``BROADCAST_MAX_CENTROIDS`` on the dim side or
+``BROADCAST_MAX_PROBE_PAIRS`` on the |points| x |centroids| product,
+both constants justified from the measured BENCH_WEATHER crossover).
 Both produce IDENTICAL pairs (pinned in tests/test_weather_pipeline);
 tools/wx_bench.py measures the crossover on the scaled weather dirs.
 """
@@ -46,6 +49,16 @@ FORECAST = "forecast"
 #: budget — while every row of a BNL probe pays O(dim) haversine work,
 #: so past ~1e5 centroids the bucketed join's selective cell key wins.
 BROADCAST_MAX_CENTROIDS = 100_000
+
+#: The crossover also arrives on the POINT side (round-7 verdict #2):
+#: BNL probe cost is |points| x |centroids| haversine evaluations, so a
+#: big-enough fact beats the grid path's shuffle even with a tiny dim.
+#: Measured on the scaled weather dirs (BENCH_WEATHER.json, 900
+#: centroids): at wx10 the obs window is ~1.5e8 probe pairs and
+#: broadcast wins by 11% (27.9 vs 31.5 s); at wx30 it is ~4.1e8 pairs
+#: and GRID wins by 18% (96.7 vs 117.4 s). The threshold sits at the
+#: geometric midpoint of the two measured sides of the crossover.
+BROADCAST_MAX_PROBE_PAIRS = 250_000_000
 
 
 def _idw_mean(col: str) -> Column:
@@ -93,11 +106,24 @@ def map_to_postal_codes(
         F.col("centroid_lat").isNotNull()
     ).select("postal_code", "centroid_lat", "centroid_lon")
     if spatial_join == "auto":
-        spatial_join = (
-            "broadcast"
-            if centroids.count() <= BROADCAST_MAX_CENTROIDS
-            else "grid"
-        )
+        n_centroids = centroids.count()
+        if n_centroids > BROADCAST_MAX_CENTROIDS:
+            # dim side over the broadcast budget: grid regardless of
+            # fact size
+            spatial_join = "grid"
+        else:
+            # point-side crossover: BNL work is |points| x |centroids|
+            # haversines, so count the windowed fact too. The count is
+            # one cheap extra job — an aggregate over the scan with the
+            # lookback/quality filters pushed down, nothing
+            # materialized — and at the scale where it is not cheap the
+            # answer it produces ("grid") saves far more than it costs.
+            n_points = located.count()
+            spatial_join = (
+                "broadcast"
+                if n_points * n_centroids <= BROADCAST_MAX_PROBE_PAIRS
+                else "grid"
+            )
     if spatial_join == "grid":
         from ..operators.spatial import bucketed_range_join
 

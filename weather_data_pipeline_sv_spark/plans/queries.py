@@ -80,11 +80,27 @@ def forecast_window(
     )
 
 
-def v_latest_observations(gold: DataFrame) -> DataFrame:
+def v_latest_observations(gold: DataFrame, pin: bool = True) -> DataFrame:
     """All postal codes at the single global max observation hour
     (schema.sql:312-328 — the reference view uses a GLOBAL max, not
-    per-postal-code; replicated as a 1-row broadcast cross join)."""
+    per-postal-code; replicated as a 1-row broadcast cross join — NEVER
+    a global window, which would funnel gold through SinglePartition).
+
+    The plan BRANCHES on the filtered gold (max-agg branch + equality-
+    filter branch), so when ``gold`` is a lazy transform plan rather
+    than a materialized table, both branches would recompute the whole
+    upstream pipeline — measured as the flagship table's worst scaler
+    (3.9x on 3x data, round-7 verdict #5). ``pin`` (default) pins the
+    branch head via ``stage_cache`` so the second branch reads cached
+    blocks; result-invisible (oracle-checked), bounded by the view's
+    own input size (gold is postal x hour, already aggregated). Pass
+    ``pin=False`` when gold is a plain table read — there the double
+    scan is cheaper than a materialization."""
+    from ..functions.caching import stage_cache
+
     obs = gold.filter(F.col("data_type") == "observation")
+    if pin:
+        obs = stage_cache(obs)
     hi = obs.agg(F.max("timestamp").alias("__max_ts"))
     return (
         obs.crossJoin(F.broadcast(hi))
@@ -97,9 +113,14 @@ def v_latest_observations(gold: DataFrame) -> DataFrame:
     )
 
 
-def v_latest_forecasts(gold: DataFrame) -> DataFrame:
-    """All rows of the most recent forecast issue (schema.sql:331-350)."""
+def v_latest_forecasts(gold: DataFrame, pin: bool = True) -> DataFrame:
+    """All rows of the most recent forecast issue (schema.sql:331-350).
+    Same branch-pinning rationale as :func:`v_latest_observations`."""
+    from ..functions.caching import stage_cache
+
     fcst = gold.filter(F.col("data_type") == "forecast")
+    if pin:
+        fcst = stage_cache(fcst)
     hi = fcst.agg(F.max("forecast_timestamp").alias("__max_issue"))
     return (
         fcst.crossJoin(F.broadcast(hi))
