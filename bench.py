@@ -143,7 +143,24 @@ BENCH_QUERIES = [
     "t26_incremental_bm25",
     "pipe7_retrieval_decontaminate",
     "pipe8_chunk_dedup",
+    # round-8 additions
+    "smp8b_leakage_split_banded",
+    "d12_incremental_boilerplate",
+    "smp10_chunk_leakage_split",
 ]
+
+
+def cheap_tier(queries: dict) -> list[str]:
+    """Every catalog entry NOT in the curated scale tier (round-7 verdict
+    #4: 60 of 154 entries sat outside the suite, so a regression in any
+    of them would ship silently — bench_diff only guards what is
+    benched). DERIVED from the live catalog rather than listed, so a
+    future entry is bench-covered the day it registers; the curated list
+    above remains the scale-stressing tier the per-scale curve artifacts
+    (BENCH_SF1/SF3, BENCH_SPILL) measure. These are the sub-second
+    early-round core (p*/s*/o*/f*/a-singles, smp1-3, wx1/wx2, ...);
+    measured cost of the whole tier is ~40 s of suite time at sf0.1."""
+    return sorted(set(queries) - set(BENCH_QUERIES))
 
 
 def _tree_cpu_seconds() -> float:
@@ -279,7 +296,7 @@ def main() -> None:
     # subset protocol for measuring late additions at the scale dirs
     # without re-running the whole suite (same per-query procedure)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    names = only.split(",") if only else BENCH_QUERIES
+    names = only.split(",") if only else BENCH_QUERIES + cheap_tier(queries)
     unknown = [n for n in names if n not in queries]
     if unknown:
         raise SystemExit(f"unknown bench query name(s): {unknown}")

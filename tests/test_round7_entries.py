@@ -216,10 +216,15 @@ def test_smp9_plan_has_no_global_corpus_window(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Leakage-free split
 # ---------------------------------------------------------------------------
-def test_smp8_no_component_straddles_splits(spark, sf_dir):
+@pytest.mark.parametrize(
+    "entry", ["smp8_leakage_free_split", "smp8b_leakage_split_banded"]
+)
+def test_smp8_no_component_straddles_splits(spark, sf_dir, entry):
+    """The no-straddle property, pinned on BOTH candidate paths — the
+    banded path (round-8) must preserve it, not just match the oracle."""
     from weather_data_pipeline_sv_spark.catalog import all_queries
 
-    df = all_queries()["smp8_leakage_free_split"](spark, sf_dir)
+    df = all_queries()[entry](spark, sf_dir)
     bad = (
         df.groupBy("component")
         .agg(F.countDistinct("split").alias("ns"))
@@ -229,6 +234,86 @@ def test_smp8_no_component_straddles_splits(spark, sf_dir):
     assert bad == 0
     # exhaustive: every doc got a split label
     assert df.filter(F.col("split").isNull()).count() == 0
+
+
+def test_smp10_no_shared_chunk_straddles_splits(spark, sf_dir):
+    """The no-straddle property AT CHUNK GRANULARITY: every pair of
+    documents sharing a context-window fingerprint carries ONE split
+    label — the contamination unit for pretraining evals is the window,
+    not the document. Checked directly against the chunk fingerprints,
+    not just via components."""
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+    from weather_data_pipeline_sv_spark.catalog.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        _docs_with_tokens,
+    )
+    from weather_data_pipeline_sv_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    split = all_queries()["smp10_chunk_leakage_split"](spark, sf_dir)
+    # component-level: no component straddles, every doc labeled
+    assert (
+        split.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+        == 0
+    )
+    assert split.filter(F.col("split").isNull()).count() == 0
+    # chunk-level: every shared fingerprint sees exactly one split
+    d = _docs_with_tokens(spark, sf_dir)
+    ch = (
+        chunk_by_tokens(
+            d.select("doc_id", "tokens"), "doc_id", "tokens",
+            window=_CHUNK_W, stride=_CHUNK_S,
+        )
+        .select("doc_id", F.md5("chunk_text").alias("h"))
+        .distinct()
+    )
+    straddling = (
+        ch.join(split.select("doc_id", "split"), "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # sanity: the property is non-vacuous — shared fingerprints exist
+    shared = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .count()
+    )
+    assert shared > 0
+
+
+def test_leakage_split_banded_equals_naive(spark, sf_dir):
+    """Banding is result-invisible on this corpus: identical
+    (doc, component, split) assignment row-for-row, and an unknown
+    candidates mode raises."""
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+    from weather_data_pipeline_sv_spark.operators.sampling import (
+        leakage_free_split,
+    )
+
+    q = all_queries()
+    a = sorted(
+        map(tuple, q["smp8_leakage_free_split"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, q["smp8b_leakage_split_banded"](spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="candidates"):
+        leakage_free_split(
+            spark.range(1).select(
+                F.col("id").alias("doc_id"), F.lit("x").alias("text")
+            ),
+            "doc_id", "text", candidates="bogus",
+        )
 
 
 # ---------------------------------------------------------------------------

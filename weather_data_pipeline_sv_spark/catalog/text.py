@@ -3047,6 +3047,11 @@ def t25_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.retrieval import probe_bm25_index, write_bm25_index
 
+    # driver-local scratch: correct only where driver and executors
+    # share a filesystem (the local-mode harness this entry runs under);
+    # a cluster deployment passes write_bm25_index/probe_bm25_index a
+    # shared path (HDFS/object store) instead — the operators themselves
+    # go through the Hadoop FS-backed parquet reader/writer either way
     root = tempfile.mkdtemp(prefix="wdp_bm25_index_")
     try:
         write_bm25_index(_bm25_doc_terms(spark, sf_dir), root)
@@ -3153,10 +3158,7 @@ def t24_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D11_MIN_DF = 5
 _D11_FRAC = 0.01
 
-
-@register(
-    "d11_boilerplate_shingles",
-    oracle=f"""
+_D11_ORACLE = f"""
     {_DUCK_DOC_SHINGLES},
     dfq AS (
       SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
@@ -3177,13 +3179,15 @@ _D11_FRAC = 0.01
            {rnd_sql('coalesce(nb.n_boiler, 0) * 1.0 / t.n_shingles', 6)}
              AS boiler_ratio
     FROM tot t LEFT JOIN nb ON nb.doc_id = t.doc_id
-    """,
-)
-def d11_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    nd = tot.agg(F.count(F.lit(1)).alias("n_docs"))
+    """
+
+
+def _boilerplate_report(sh, dfq, tot, nd) -> DataFrame:
+    """Shared tail of the batch (d11) and incremental (d12) boilerplate
+    entries: threshold from (df, n_docs) stats, semi-join back to the
+    doc-shingle table, per-doc ratio. One expression tree for both, so
+    the incremental path can't drift from the batch rule it is
+    hash-proven against."""
     boiler = (
         dfq.crossJoin(F.broadcast(nd))
         .filter(
@@ -3214,6 +3218,54 @@ def d11_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d11_boilerplate_shingles", oracle=_D11_ORACLE)
+def d11_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nd = tot.agg(F.count(F.lit(1)).alias("n_docs"))
+    return _boilerplate_report(sh, dfq, tot, nd)
+
+
+# ---------------------------------------------------------------------------
+# D12 — INCREMENTAL boilerplate (d11's rule maintained without a corpus
+# rescan — round-7 verdict #6): the C4 threshold is corpus-relative, but
+# its inputs are pure partial aggregates — shingle-df is additive per
+# term, per-doc shingle counts are doc-local (final per slice, docs
+# disjoint by the t26 contract), and n_docs is additive. So "update the
+# boilerplate report for today's slice" = merge the per-slice partials
+# (exactly t26's algebra) and recompute the threshold from merged
+# stats; only the final tiny-vocabulary semi-join touches the retained
+# doc-shingle rows — never the raw text. Shares d11's oracle VERBATIM:
+# hash equality proves incremental ≡ batch.
+# ---------------------------------------------------------------------------
+@register("d12_incremental_boilerplate", oracle=_D11_ORACLE)
+def d12_incremental_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    sh = _doc_shingles(spark, sf_dir)
+    slices = [sh.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    # per-slice partials (what an incremental store would persist per day)
+    dfs = [
+        sl.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        for sl in slices
+    ]
+    tots = [
+        sl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        for sl in slices
+    ]
+    nds = [t.agg(F.count(F.lit(1)).alias("n_docs")) for t in tots]
+    union = lambda frames: functools.reduce(
+        lambda a, b: a.unionByName(b), frames
+    )
+    dfq = union(dfs).groupBy("shingle").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    tot = union(tots)
+    nd = union(nds).agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    return _boilerplate_report(union(slices), dfq, tot, nd)
+
+
 # ---------------------------------------------------------------------------
 # SMP8 — leakage-free train/val/test split: assign the split by the
 # NEAR-DUP CLUSTER (d6's connected components over the Jaccard >= 0.6
@@ -3224,14 +3276,21 @@ def d11_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replayable, stable under repartitioning. Plan = d6's clustering (its
 # scale story is d6's: bucketed candidate generation, loop-pinned
 # min-label propagation) + ONE map-side split projection.
+#
+# Two catalog entries share ONE oracle (the d10-shares-d7 proof shape):
+# smp8 generates candidate pairs with the exact shared-shingle join
+# (d2's shape, quadratic per shingle bucket); smp8b rides the MinHash
+# band join in the high-recall band_size=1 configuration — candidate
+# cost docs x n_hashes instead of df² per shingle, the 100 TB path. The
+# oracle replays the EXACT clustering, so smp8b's hash match proves the
+# banding had full recall on this corpus (miss prob <= 0.4^16 per true
+# pair at threshold 0.6) — banding is result-invisible, the j9/a13
+# salting rule.
 # ---------------------------------------------------------------------------
 _SMP8_VAL = 0.05
 _SMP8_TEST = 0.05
 
-
-@register(
-    "smp8_leakage_free_split",
-    oracle=f"""
+_SMP8_ORACLE = f"""
     WITH RECURSIVE
     {_DUCK_DOC_SHINGLES_CAPPED.strip().removeprefix('WITH').strip()},
       counts AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
@@ -3268,25 +3327,29 @@ _SMP8_TEST = 0.05
              {hash_uniform_sql('component', 'cluster_split')} AS u
       FROM comp
     )
-    """,
-)
-def smp8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
-    from ..operators.sampling import split_column
+    """
+
+
+def _leakage_split(spark: SparkSession, sf_dir: str, candidates: str):
+    from ..operators.sampling import leakage_free_split
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
-    comp = connected_components(
-        d.select("doc_id"), pairs,
-        vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    return leakage_free_split(
+        d, "doc_id", "text", n=3, threshold=0.6,
+        val_frac=_SMP8_VAL, test_frac=_SMP8_TEST, salt="cluster_split",
+        candidates=candidates,
+        max_shingle_df=dd.JACCARD_MAX_SHINGLE_DF,
     )
-    return comp.select(
-        "doc_id", "component",
-        split_column(
-            F.col("component"), val_frac=_SMP8_VAL, test_frac=_SMP8_TEST,
-            salt="cluster_split",
-        ).alias("split"),
-    )
+
+
+@register("smp8_leakage_free_split", oracle=_SMP8_ORACLE)
+def smp8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _leakage_split(spark, sf_dir, "naive")
+
+
+@register("smp8b_leakage_split_banded", oracle=_SMP8_ORACLE)
+def smp8b_leakage_split_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _leakage_split(spark, sf_dir, "banded")
 
 
 # ---------------------------------------------------------------------------
@@ -3476,4 +3539,104 @@ def pipe8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum(dup).cast("long").alias("n_dup"),
         rnd(F.sum(dup) * 1.0 / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMP10 — CHUNK-level leakage-free split (pipe8's fingerprints ∘ smp8's
+# cluster rule — round-7 verdict #7): for pretraining evals the actual
+# contamination unit is the CONTEXT WINDOW, not the document — a train
+# doc and an eval doc sharing one verbatim 32-token window leaks that
+# window into eval even when the documents as wholes are not near-dups
+# (quoted passages, templated fragments). So the co-assignment graph
+# has an edge wherever two documents share a chunk fingerprint;
+# connected components + the md5-of-representative split assignment
+# guarantee no shared window ever straddles train/test.
+# Scale shape: t24's zero-shuffle chunker -> distinct (doc, h) -> the
+# shared-key self-join on h (dup families are tiny, the pipe8
+# argument; a boilerplate-grade fingerprint shared corpus-wide would be
+# removed by d11/pipe8 upstream) -> d6's loop-pinned label propagation.
+# ---------------------------------------------------------------------------
+@register(
+    "smp10_chunk_leakage_split",
+    oracle=f"""
+    WITH RECURSIVE
+      tk AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+      ), st AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens), {_CHUNK_S})) AS start_tok
+        FROM tk WHERE len(tokens) >= 1
+      ), ch AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(tokens, start_tok,
+                    start_tok + {_CHUNK_W} - 1), ' ')) AS h
+        FROM st
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+      ),
+      und AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      walk(v, l) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.t, w.l FROM walk w JOIN und e ON e.s = w.v
+      ),
+      comp AS (
+        SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+        FROM walk GROUP BY v
+      )
+    SELECT doc_id, component,
+           CASE WHEN u < {_SMP8_TEST} THEN 'test'
+                WHEN u < {_SMP8_TEST + _SMP8_VAL} THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id, component,
+             {hash_uniform_sql('component', 'chunk_split')} AS u
+      FROM comp
+    )
+    """,
+)
+def smp10_chunk_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens
+    from ..operators.graph import connected_components
+    from ..operators.sampling import split_column
+
+    d = _docs_with_tokens(spark, sf_dir)
+    ch = (
+        chunk_by_tokens(
+            d.select("doc_id", "tokens"), "doc_id", "tokens",
+            window=_CHUNK_W, stride=_CHUNK_S,
+        )
+        .select("doc_id", F.md5("chunk_text").alias("h"))
+        .distinct()
+    )
+    pairs = (
+        ch.alias("a")
+        .join(
+            ch.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(
+        d.select("doc_id"), pairs,
+        vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        split_column(
+            F.col("component"), val_frac=_SMP8_VAL, test_frac=_SMP8_TEST,
+            salt="chunk_split",
+        ).alias("split"),
     )

@@ -285,3 +285,80 @@ def global_hash_order(
         )
         .drop("__h", "__bucket", "__rank", "__offset")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "cluster_split",
+    candidates: str = "naive",
+    n_hashes: int = 16,
+    band_size: int = 1,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/val/test assignment by NEAR-DUP CLUSTER, so two documents
+    with shingle Jaccard >= ``threshold`` can never straddle a split
+    boundary (the eval-contamination failure mode of a plain
+    hash-of-doc_id split). Cluster = connected components over the
+    pair graph; split membership = the md5 variate of the cluster
+    representative (deterministic, engine-replayable).
+
+    ``candidates`` selects the pair-generation strategy (the
+    ``spatial_join`` pattern — a purely physical switch):
+
+    - ``"naive"``: :func:`~..operators.dedup.jaccard_pairs` — the
+      shared-shingle self-join, EXACT over capped shingles. Quadratic
+      inside each shingle bucket; right at reference scale, where the
+      stop-shingle cap bounds the worst bucket.
+    - ``"banded"``: :func:`~..operators.dedup.minhash_lsh_pairs` in the
+      HIGH-RECALL configuration (``band_size=1``: a pair is a candidate
+      if ANY of the ``n_hashes`` minhash slots collide) with the same
+      exact-Jaccard verification on the candidates. Candidate cost is
+      docs x n_hashes banding rows instead of df-per-shingle squared —
+      the 100 TB path. Recall is probabilistic but engineered: a true
+      pair at Jaccard j >= threshold is missed only if all slots differ,
+      p = (1-j)^n_hashes <= 0.4^16 ~ 4e-7 at the 0.6 default — and the
+      hashing is md5-deterministic, so a given corpus either has full
+      recall or not, checkably (the catalog's banded entry shares the
+      naive entry's exact oracle verbatim: a hash match PROVES full
+      recall on that corpus, the d10-shares-d7 proof shape).
+
+    ``max_shingle_df`` must agree between the two paths for the
+    verified Jaccard values to be identical (both default to the
+    caller's choice; the catalog passes the d2 cap).
+    """
+    from .dedup import jaccard_pairs, minhash_lsh_pairs
+    from .graph import connected_components
+
+    if candidates == "naive":
+        pairs = jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            max_shingle_df=max_shingle_df,
+        )
+    elif candidates == "banded":
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            n_hashes=n_hashes, band_size=band_size,
+            max_shingle_df=max_shingle_df,
+        )
+    else:
+        raise ValueError(
+            f"candidates must be 'naive' or 'banded', got {candidates!r}"
+        )
+    comp = connected_components(
+        df.select(F.col(id_col).alias("doc_id")), pairs,
+        vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        split_column(
+            F.col("component"), val_frac=val_frac, test_frac=test_frac,
+            salt=salt,
+        ).alias("split"),
+    )
