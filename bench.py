@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "smp8b_leakage_split_banded",
     "d12_incremental_boilerplate",
     "smp10_chunk_leakage_split",
+    "t27_hybrid_rrf",
 ]
 
 

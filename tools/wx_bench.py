@@ -153,12 +153,19 @@ def main() -> None:
 
     results = {}
     plan = None
+    # subset protocol (same as bench.py's SPARK_GRAFT_BENCH_ONLY): measure
+    # only the named entries, MERGING into an existing artifact so a
+    # re-measured entry lands next to the full run's numbers
+    only = os.environ.get("WX_BENCH_ONLY")
+    only_names = set(only.split(",")) if only else None
     for d in dirs:
         t = load_wx(spark, d)
         ents = entries(spark, t)
+        if only_names:
+            ents = {k: v for k, v in ents.items() if k in only_names}
         # warmup: one full pipeline pass so codegen/broadcast setup isn't
         # billed to the first measured entry of each dir
-        ents["wx_pipeline"]()
+        entries(spark, t)["wx_pipeline"]()
         rows = {
             "n_obs": t["raw_weather_observations"].count(),
             "n_fcst": t["raw_weather_forecasts"].count(),
@@ -179,6 +186,22 @@ def main() -> None:
             plan = {"dir": d, "n_stations": t["meta"]["n_stations"],
                     **plan_facts(spark, t)}
         spark.catalog.clearCache()
+
+    if only_names and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        for d, r in results.items():
+            pr = prior["dirs"].setdefault(d, r)
+            pr["wall_s"].update(r["wall_s"])
+            pr["cpu_s"].update(r["cpu_s"])
+        if plan is not None:
+            prior["plan_facts"] = plan
+        with open(out_path, "w") as f:
+            json.dump(prior, f, indent=1)
+        spark.stop()
+        sys.stdout.flush()
+        print(json.dumps(prior))
+        return
 
     art = {
         "metric": (

@@ -3640,3 +3640,167 @@ def smp10_chunk_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt="chunk_split",
         ).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T27 — HYBRID retrieval (sparse + dense + RRF fusion): the serving
+# composition every modern retrieval stack runs — BM25 (t23's chain)
+# and embedding cosine (v1's chain) each produce a per-query top-k over
+# the SAME universe (documents that have both a token stream and an
+# embedding: doc_id = vec_id), fused by Reciprocal Rank Fusion
+# (operators/retrieval.py::rrf_fuse). RRF consumes only RANKS, so the
+# two incomparable score scales need no calibration — which is exactly
+# why it is the standard zero-training fusion rule.
+# Scale shape: each side keeps its own proven plan (t23's posting-list
+# probe, v1's broadcast-query BNL — at scale the dense side swaps to the
+# IVF probe, same ranks in, fusion unchanged); the fusion layer itself
+# only touches probe-sized data (queries x k per side). The dense side
+# here INCLUDES the query doc (retrieving yourself is the degenerate
+# hybrid hit both sides agree on; v1's neighbor semantics excludes
+# self — documented divergence, not drift).
+# ---------------------------------------------------------------------------
+_T27_RRF_K = 60
+
+
+@register(
+    "t27_hybrid_rrf",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), u AS (
+      SELECT t.doc_id, t.tokens FROM tk t
+      JOIN embeddings e ON e.vec_id = t.doc_id
+      WHERE len(t.tokens) > 0
+    ), tocc AS (
+      SELECT doc_id, unnest(tokens) AS term FROM u
+    ), toc AS (
+      SELECT doc_id, term FROM tocc WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toc GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS doc_len FROM toc GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(doc_len AS DOUBLE)) AS avgdl
+      FROM dl
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id,
+               unnest(list_slice(tokens, 1, {_BM25_QTERMS})) AS term
+        FROM u WHERE doc_id % {_BM25_QMOD} = 0
+      ) WHERE term <> ''
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.doc_len / stats.avgdl))
+             ) AS score
+      FROM qt q
+      JOIN tf USING (term)
+      JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ), srk AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('score', 6)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM sc
+    ), ev AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS emb
+      FROM embeddings e JOIN u ON u.doc_id = e.vec_id
+    ), qe AS (
+      SELECT vec_id AS query_id, emb AS qemb FROM ev
+      WHERE vec_id % {_BM25_QMOD} = 0
+    ), dp AS (
+      SELECT q.query_id, v.vec_id AS doc_id,
+             list_dot_product(q.qemb, v.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))) AS cos
+      FROM qe q CROSS JOIN ev v
+    ), drk AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('cos', 6)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM dp
+    ), contrib AS (
+      SELECT query_id, doc_id, 1.0 / ({_T27_RRF_K} + rank) AS c
+      FROM srk WHERE rank <= {_BM25_K}
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / ({_T27_RRF_K} + rank) AS c
+      FROM drk WHERE rank <= {_BM25_K}
+    ), fused AS (
+      SELECT query_id, doc_id, sum(c) AS rrf
+      FROM contrib GROUP BY query_id, doc_id
+    ), frk AS (
+      SELECT query_id, doc_id, rrf,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('rrf', 9)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, rank, {rnd_sql('rrf', 6)} AS rrf
+    FROM frk WHERE rank <= {_BM25_K}
+    """,
+)
+def t27_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine
+
+    docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    # the hybrid universe: ids carrying BOTH representations
+    uni = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+    )
+    doc_terms = uni.select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).filter(F.col("term") != "")
+    q_terms = (
+        uni.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("tokens", 1, _BM25_QTERMS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sparse = bm25_topk(doc_terms, q_terms, k=_BM25_K)
+
+    emb_u = emb.join(
+        uni.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    qe = emb_u.filter(F.col("vec_id") % _BM25_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    pairs = F.broadcast(qe).crossJoin(emb_u).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("qemb"), F.col("emb")).alias("cos"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd(F.col("cos"), 6)), F.asc("doc_id")
+    )
+    dense = (
+        pairs.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense],
+        k=_BM25_K, rrf_k=_T27_RRF_K,
+    )

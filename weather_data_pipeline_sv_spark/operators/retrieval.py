@@ -584,3 +584,55 @@ def bm25_index_stream(
         .start()
     )
 
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: fuse independently-produced rankings (sparse BM25 +
+# dense cosine being the canonical pair) with Reciprocal Rank Fusion
+# (Cormack, Clarke & Buettner, SIGIR 2009 — the standard zero-training
+# fusion rule every hybrid-search system ships). RRF needs only the
+# RANKS, never the incomparable raw scores, which is exactly why it
+# composes the engine's lexical (t23) and vector (v1) families without
+# any score calibration.
+# ---------------------------------------------------------------------------
+RRF_K = 60  # the paper's constant: dampens rank-1 dominance
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 5, rrf_k: int = RRF_K
+) -> DataFrame:
+    """Fuse per-query rankings — each (query_id, doc_id, rank) — into
+    top-k by summed reciprocal rank 1/(rrf_k + rank).
+
+    Scale shape: each input is already a per-query top-k (bounded:
+    queries x k rows per side), so the union + (query, doc) partial agg
+    + per-QUERY rank window all run on probe-sized data — the fusion
+    layer adds no corpus-sized work to either retrieval chain.
+
+    Determinism / oracle parity: contributions are exact dyadic-free
+    doubles 1/(rrf_k + rank) summed over <= len(rankings) terms; the
+    fused ordering rounds to 9 dp first (ties are COMMON — a doc seen
+    by one side only, at the same rank, produces exactly equal sums)
+    with doc_id ascending as the final tie-break, the bm25_score_topk
+    convention."""
+    import functools
+
+    contribs = [
+        r.select(
+            "query_id", "doc_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        functools.reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("rrf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd(F.col("rrf"), 9)), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", rnd("rrf", 6).alias("rrf"))
+    )

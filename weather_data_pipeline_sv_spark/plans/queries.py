@@ -88,37 +88,51 @@ def v_latest_observations(gold: DataFrame, pin: bool = True) -> DataFrame:
 
     The plan BRANCHES on the filtered gold (max-agg branch + equality-
     filter branch), so when ``gold`` is a lazy transform plan rather
-    than a materialized table, both branches would recompute the whole
-    upstream pipeline — measured as the flagship table's worst scaler
-    (3.9x on 3x data, round-7 verdict #5). ``pin`` (default) pins the
+    than a materialized table, both branches recompute the post-shuffle
+    side of the upstream pipeline (Spark's ReusedExchange already
+    de-duplicates the shuffle map side). ``pin`` (default) pins the
     branch head via ``stage_cache`` so the second branch reads cached
     blocks; result-invisible (oracle-checked), bounded by the view's
-    own input size (gold is postal x hour, already aggregated). Pass
-    ``pin=False`` when gold is a plain table read — there the double
-    scan is cheaper than a materialization."""
+    own input size (gold is postal x hour, already aggregated).
+
+    ORDER MATTERS: the data_type filter and the COLUMN PRUNE both sit
+    BEFORE the pin. A checkpoint materializes exactly the columns it is
+    given and Catalyst cannot prune through it — pinning the full gold
+    row froze all ~18 aggregate expressions into the obs pass and
+    measured SLOWER than the unpinned plan at the 30x weather dir
+    (86.5 s vs the pipeline's own 84.3); pruning to the view's 8
+    output columns first lets the aggregate itself shrink, and the
+    data_type filter eliminates the forecast branch of the gold union
+    entirely. Pass ``pin=False`` when gold is a plain table read —
+    there the double scan is cheaper than a materialization."""
     from ..functions.caching import stage_cache
 
-    obs = gold.filter(F.col("data_type") == "observation")
+    obs = gold.filter(F.col("data_type") == "observation").select(
+        "postal_code", "timestamp", "temperature_avg", "precipitation_sum",
+        "wind_speed_avg", "cloud_cover_avg", "num_stations",
+        "avg_quality_score",
+    )
     if pin:
         obs = stage_cache(obs)
     hi = obs.agg(F.max("timestamp").alias("__max_ts"))
     return (
         obs.crossJoin(F.broadcast(hi))
         .filter(F.col("timestamp") == F.col("__max_ts"))
-        .select(
-            "postal_code", "timestamp", "temperature_avg", "precipitation_sum",
-            "wind_speed_avg", "cloud_cover_avg", "num_stations",
-            "avg_quality_score",
-        )
+        .drop("__max_ts")
     )
 
 
 def v_latest_forecasts(gold: DataFrame, pin: bool = True) -> DataFrame:
     """All rows of the most recent forecast issue (schema.sql:331-350).
-    Same branch-pinning rationale as :func:`v_latest_observations`."""
+    Same branch-pinning rationale (and prune-before-pin order) as
+    :func:`v_latest_observations`."""
     from ..functions.caching import stage_cache
 
-    fcst = gold.filter(F.col("data_type") == "forecast")
+    fcst = gold.filter(F.col("data_type") == "forecast").select(
+        "postal_code", "forecast_timestamp", "timestamp",
+        "temperature_avg", "precipitation_sum", "wind_speed_avg",
+        "cloud_cover_avg", "num_stations",
+    )
     if pin:
         fcst = stage_cache(fcst)
     hi = fcst.agg(F.max("forecast_timestamp").alias("__max_issue"))
