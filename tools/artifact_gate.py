@@ -54,6 +54,37 @@ def check(path: str, expected: set[str]) -> list[str]:
     problems: list[str] = []
     with open(path) as f:
         art = json.load(f)
+    # bench artifacts (BENCH_LOCAL_rN.json) carry numeric wall seconds
+    # under "queries": gate them on COMPLETENESS + finite positives, so
+    # a catalog entry missing from the bench suite fails the gate the
+    # same way a missing oracle result does (round-7 verdict #4 — 60 of
+    # 154 entries were outside the suite and a regression in any would
+    # have shipped silently)
+    if (
+        isinstance(art, dict)
+        and isinstance(art.get("queries"), dict)
+        and art["queries"]
+        and all(
+            isinstance(v, (int, float)) or v is None
+            for v in art["queries"].values()
+        )
+    ):
+        keys = set(art["queries"])
+        missing = sorted(expected - keys)
+        if missing:
+            problems.append(
+                f"{path}: bench MISSING {len(missing)} catalog entries: "
+                f"{', '.join(missing)}"
+            )
+        bad = sorted(
+            k for k, v in art["queries"].items()
+            if k in expected and not (isinstance(v, (int, float)) and v > 0)
+        )
+        if bad:
+            problems.append(
+                f"{path}: bench non-positive/null wall for: {', '.join(bad)}"
+            )
+        return problems
     # plan_audit artifacts nest per-entry records under "per_query"
     entries = art.get("per_query", art) if isinstance(art, dict) else None
     if not isinstance(entries, dict):

@@ -10,6 +10,11 @@ weather dirs from tools/make_weather_dir.py:
 - ``wx_pipeline_grid``       identical pipeline on the X4 grid equi-join
                              path (spatial_join='grid') — the broadcast/
                              grid CROSSOVER evidence at each scale
+- ``wx_pipeline_auto``       the selector itself (round-8): must track
+                             min(broadcast, grid) at every dir — picks
+                             broadcast at wx1/wx10, grid (for the obs
+                             side) at wx30 via the point-side
+                             |points| x |centroids| crossover
 - ``wx_flagship_history``    the README flagship query: last-24h weather
                              for postal code 10115 (weather_history over
                              the freshly computed gold — end to end from

@@ -3758,8 +3758,15 @@ def t27_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot
 
     docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    # ensure_min_parallelism matters HERE more than anywhere: the dense
+    # side's per-pair HOF fold inherits the embedding table's partition
+    # count, and a single-file parquet read otherwise serializes the
+    # whole q x n cosine stage onto one task (measured: 300 s wall at
+    # 420 s CPU — parallelism 1.4 — at the 30x dir before this line)
     emb = (
-        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        ensure_min_parallelism(
+            load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        )
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
