@@ -3183,39 +3183,11 @@ _D11_ORACLE = f"""
 
 
 def _boilerplate_report(sh, dfq, tot, nd) -> DataFrame:
-    """Shared tail of the batch (d11) and incremental (d12) boilerplate
-    entries: threshold from (df, n_docs) stats, semi-join back to the
-    doc-shingle table, per-doc ratio. One expression tree for both, so
-    the incremental path can't drift from the batch rule it is
-    hash-proven against."""
-    boiler = (
-        dfq.crossJoin(F.broadcast(nd))
-        .filter(
-            F.col("df")
-            >= F.greatest(
-                F.lit(_D11_MIN_DF).cast("double"),
-                F.ceil(F.lit(_D11_FRAC) * F.col("n_docs")).cast("double"),
-            )
-        )
-        .select("shingle")
-    )
-    nb = sh.join(boiler, "shingle").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_boiler")
-    )
-    return (
-        tot.join(nb, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_boiler"), F.lit(0))
-            .cast("long").alias("n_boiler"),
-            rnd(
-                F.coalesce(F.col("n_boiler"), F.lit(0)) * 1.0
-                / F.col("n_shingles"),
-                6,
-            ).alias("boiler_ratio"),
-        )
-    )
+    """d11/d12's shared tail — delegated to
+    operators/dedup.py::boilerplate_report (one expression tree for the
+    batch entry, the incremental entry, AND the streaming store, so
+    none can drift from the rule the others are hash-proven against)."""
+    return dd.boilerplate_report(sh, dfq, tot, nd, _D11_MIN_DF, _D11_FRAC)
 
 
 @register("d11_boilerplate_shingles", oracle=_D11_ORACLE)

@@ -527,3 +527,47 @@ def bloom_decontaminate(
             (frac >= threshold).alias("is_contaminated"),
         )
     )
+
+
+def boilerplate_report(
+    sh: DataFrame, dfq: DataFrame, tot: DataFrame, nd: DataFrame,
+    min_df: int, frac: float,
+) -> DataFrame:
+    """The C4/RefinedWeb boilerplate rule's shared tail: threshold from
+    (df, n_docs) stats — boilerplate = shingle df >= max(min_df,
+    ceil(frac * n_docs)), corpus-relative at any scale — then a
+    tiny-vocabulary semi-join back to the doc-shingle table and the
+    per-doc ratio. ONE expression tree serves the batch entry (d11),
+    the incremental entry (d12), and the streaming store
+    (operators/boilerplate.py), so none can drift from the rule the
+    others are hash-proven against."""
+    from ..functions.rounding import rnd
+
+    boiler = (
+        dfq.crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df")
+            >= F.greatest(
+                F.lit(min_df).cast("double"),
+                F.ceil(F.lit(frac) * F.col("n_docs")).cast("double"),
+            )
+        )
+        .select("shingle")
+    )
+    nb = sh.join(boiler, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    return (
+        tot.join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0))
+            .cast("long").alias("n_boiler"),
+            rnd(
+                F.coalesce(F.col("n_boiler"), F.lit(0)) * 1.0
+                / F.col("n_shingles"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
+from .aggstore import PartialAggStore
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -323,117 +324,53 @@ DF_SCHEMA = "term string, df long"
 STATS_SCHEMA = "n_docs long, total_len long"
 
 
-class Bm25IndexStore:
-    """Parquet-backed incremental BM25 index under ``root/batches/``:
-    one directory per applied batch holding ``tf/`` ``df_partial/``
-    ``stats_partial/``. The per-batch directory is the EXACTLY-ONCE
-    unit (the CorpusStore rule): all three tables land in one staging
-    directory and publish with a single atomic rename, so a
-    foreachBatch retry either sees the whole batch (no-op) or none of
-    it. Batches must carry disjoint doc_ids (the t26 contract —
-    re-ingesting a document would double-count it in df/stats).
+class Bm25IndexStore(PartialAggStore):
+    """Parquet-backed incremental BM25 index: t26's merge algebra as a
+    live store on the generic exactly-once machinery
+    (``operators/aggstore.py::PartialAggStore`` — per-batch atomic
+    publish, watermarked compaction, interrupted-swap recovery, Hadoop
+    FS reads; every crash point pinned in tests/test_bm25_store.py).
 
-    Exactly-once survives compaction: :meth:`compact` folds the applied
-    batches into a single directory NAMED AFTER THE HIGHEST FOLDED ID
-    and stamps a ``_compacted_through_<id>`` watermark next to it, and
-    :meth:`append` refuses any ``batch_id <= watermark`` — so a
-    streaming retry of a batch whose directory was folded away is still
-    a no-op instead of a double-count (the round-7 replay-after-
-    compaction hole). All directory reads and existence checks go
-    through the Hadoop FileSystem API — the same one the writers
-    publish with — so the store behaves identically on local paths,
-    HDFS, and rename-supporting object stores; every read entry point
-    first runs :meth:`_recover`, which finishes an interrupted
-    ``replace_dir`` swap (``batches/`` absent, ``batches.replaced``
-    backup present) by restoring the backup rather than silently
-    serving an empty store."""
+    Per-batch partials: ``tf`` rows are doc-local (batch-final), ``df``
+    is additive per term, corpus stats are additive as (n_docs,
+    total_len) — so a probe's read-time merge answers IDENTICALLY to a
+    from-scratch index over everything ingested, with per-batch write
+    cost O(slice), never a rebuild. Batches must carry disjoint doc_ids
+    (the t26 contract — re-ingesting a document would double-count it
+    in df/stats)."""
 
-    _TABLES = ("tf", "df_partial", "stats_partial")
-    _COMPACT_MARK = "_compacted_through_"
+    TABLES = {
+        "tf": TF_SCHEMA,
+        "df_partial": DF_SCHEMA,
+        "stats_partial": STATS_SCHEMA,
+    }
 
-    def __init__(self, spark, root: str):
-        self.spark = spark
-        self.root = root
-        self._batches_dir = root.rstrip("/") + "/batches"
+    def partial_tables(self, batch: DataFrame) -> dict[str, DataFrame]:
+        tf, df, stats = term_stats_partial(batch)
+        return {"tf": tf, "df_partial": df, "stats_partial": stats}
 
-    # -- filesystem plumbing (Hadoop FS, never os.*: the write side
-    # publishes through this API, so the read side must look through
-    # the same lens or a non-local deployment reads an empty store) --
-    def _jpath(self, p: str):
-        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
-
-    def _fs(self):
-        return self._jpath(self.root).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
+    def fold(self, name: str, df: DataFrame) -> DataFrame:
+        if name == "tf":
+            return df  # doc-local rows: concatenation IS the merge
+        if name == "df_partial":
+            return df.groupBy("term").agg(
+                F.sum("df").cast("long").alias("df")
+            )
+        return df.groupBy().agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
         )
-
-    def _entries(self) -> list[str]:
-        """Names of everything inside ``batches/`` (after crash
-        recovery), [] when the store is empty."""
-        self._recover()
-        fs = self._fs()
-        jb = self._jpath(self._batches_dir)
-        if not fs.exists(jb):
-            return []
-        return [st.getPath().getName() for st in fs.listStatus(jb)]
-
-    def _recover(self) -> None:
-        """Finish an interrupted compaction swap. ``replace_dir`` has a
-        window between its two renames where ``batches/`` is absent and
-        the sole copy lives at ``batches.replaced``; a store that opens
-        inside that window must restore the backup BEFORE any read or
-        write — otherwise probes serve empty results and a subsequent
-        append recreates ``batches/``, after which the next swap deletes
-        the backup as stale and the pre-crash data is gone."""
-        fs = self._fs()
-        jb = self._jpath(self._batches_dir)
-        jbak = self._jpath(self._batches_dir + ".replaced")
-        if not fs.exists(jb) and fs.exists(jbak):
-            if not fs.rename(jbak, jb):
-                raise IOError(
-                    f"restore of interrupted swap {self._batches_dir}"
-                    f".replaced failed"
-                )
-
-    def applied_batch_ids(self) -> list[int]:
-        return sorted(
-            int(e) for e in self._entries() if not e.startswith(("_", "."))
-        )
-
-    def compacted_through(self) -> int:
-        """Highest batch id ever folded by :meth:`compact` (-1 if the
-        store was never compacted). The watermark is the NAME of an
-        empty marker file published atomically with the fold, so it
-        needs no file-content read and survives the swap as one unit."""
-        marks = [
-            int(e[len(self._COMPACT_MARK):])
-            for e in self._entries()
-            if e.startswith(self._COMPACT_MARK)
-        ]
-        return max(marks, default=-1)
-
-    def _read(self, name: str, schema: str) -> DataFrame:
-        fs = self._fs()
-        paths = [
-            f"{self._batches_dir}/{b}/{name}"
-            for b in self.applied_batch_ids()
-        ]
-        paths = [p for p in paths if fs.exists(self._jpath(p))]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
 
     def index_tables(self) -> tuple[DataFrame, DataFrame, DataFrame]:
         """(tf, df, stats) merged across every applied batch — the t26
         partial-aggregate merge, evaluated lazily over the store's
-        parquet."""
-        tf = self._read("tf", TF_SCHEMA)
-        df = (
-            self._read("df_partial", DF_SCHEMA)
-            .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
-        )
+        parquet. stats recomposes avgdl EXACTLY as total_len / n_docs
+        (the a14 rule: an average is not mergeable, its (count, sum)
+        decomposition is)."""
+        tf = self.read_table("tf")
+        df = self.fold("df_partial", self.read_table("df_partial"))
         stats = (
-            self._read("stats_partial", STATS_SCHEMA)
+            self.read_table("stats_partial")
             .groupBy()
             .agg(
                 F.sum("n_docs").cast("long").alias("n_docs"),
@@ -451,103 +388,6 @@ class Bm25IndexStore:
     ) -> DataFrame:
         tf, df, stats = self.index_tables()
         return bm25_score_topk(tf, df, stats, query_terms, k=k, k1=k1, b=b)
-
-    def append(
-        self, doc_terms: DataFrame, batch_id: int | None = None
-    ) -> bool:
-        """Aggregate one batch's partials and publish them exactly once.
-        Returns False (nothing written) when the batch id is already
-        published — either its directory still exists, or it is at or
-        below the compaction watermark (its directory was folded away,
-        but the batch is no less published for it). That second branch
-        is what keeps a foreachBatch retry a no-op even when
-        :meth:`compact` ran between the batch's publish and the
-        stream's checkpoint commit."""
-        from ..functions.caching import loop_cache
-        from ..sources.writers import atomic_rename_dir
-
-        applied = self.applied_batch_ids()
-        mark = self.compacted_through()
-        bid = (
-            batch_id
-            if batch_id is not None
-            else max(applied + [mark, -1]) + 1
-        )
-        if bid <= mark:
-            return False  # folded into the compacted directory: replay no-op
-        final = f"{self._batches_dir}/{bid}"
-        if self._fs().exists(self._jpath(final)):
-            return False
-        tf, df, stats = term_stats_partial(doc_terms)
-        pinned = {
-            "tf": loop_cache(tf),
-            "df_partial": loop_cache(df),
-            "stats_partial": loop_cache(stats),
-        }
-        staging = f"{self.root.rstrip('/')}/_staging_batch_{bid}"
-        for name in self._TABLES:
-            pinned[name].write.mode("overwrite").parquet(
-                f"{staging}/{name}"
-            )
-        return atomic_rename_dir(self.spark, staging, final)
-
-    def compact(self) -> bool:
-        """Fold every applied batch into a single ``batches/<hi>`` (hi =
-        the highest folded id) — the 1000-batch answer: the same merge
-        algebra a probe runs at read time (tf rows concatenate;
-        df_partial sums by term; stats_partial sums), materialized once
-        so read fan-in drops back to one directory per table. The fold
-        publishes a ``_compacted_through_<hi>`` watermark marker IN THE
-        SAME atomic swap, and :meth:`append` refuses ids at or below it
-        — without that, a streaming batch that was published but whose
-        checkpoint commit crashed before compaction would find its
-        directory gone on replay and re-append, double-counting its
-        documents in df/n_docs/total_len.
-
-        The rebuilt tables lazily READ the current batches; the staging
-        write below fully materializes them before the backup-rename
-        swap (``sources.writers.replace_dir``) mutates anything, so a
-        crash before the swap leaves the store untouched, the swap
-        itself keeps the old state recoverable at ``batches.replaced``,
-        and :meth:`_recover` finishes a swap that died between the two
-        renames (run compaction out-of-band of probes, the
-        VectorStore.retrain rule). No-op (False) when the store has one
-        or zero batches. Subsequent appends continue the exactly-once
-        sequence above the watermark."""
-        from ..functions.caching import loop_cache
-        from ..sources.writers import replace_dir
-
-        applied = self.applied_batch_ids()
-        if len(applied) <= 1:
-            return False
-        hi = applied[-1]
-        tf = loop_cache(self._read("tf", TF_SCHEMA))
-        dfp = loop_cache(
-            self._read("df_partial", DF_SCHEMA)
-            .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
-        )
-        stp = loop_cache(
-            self._read("stats_partial", STATS_SCHEMA)
-            .groupBy()
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_len").cast("long").alias("total_len"),
-            )
-        )
-        staging = f"{self.root.rstrip('/')}/_compacting"
-        for name, d in (("tf", tf), ("df_partial", dfp), ("stats_partial", stp)):
-            d.write.mode("overwrite").parquet(f"{staging}/{hi}/{name}")
-        # the watermark travels inside the staged directory so fold +
-        # mark publish as ONE rename — no window where the fold is live
-        # but the watermark is not
-        if not self._fs().createNewFile(
-            self._jpath(f"{staging}/{self._COMPACT_MARK}{hi}")
-        ):
-            raise IOError(f"could not stamp compaction watermark in {staging}")
-        replace_dir(self.spark, staging, self._batches_dir)
-        return True
-
-
 
 
 def bm25_index_stream(
