@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators.chunking import CHUNK_MAX_DF as _SMP10_MAX_DF
 from ..operators.retrieval import BM25_B, BM25_K1
 from ..sources import load_tables
 from ..functions.caching import loop_cache, stage_cache
@@ -3525,9 +3526,16 @@ def pipe8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # connected components + the md5-of-representative split assignment
 # guarantee no shared window ever straddles train/test.
 # Scale shape: t24's zero-shuffle chunker -> distinct (doc, h) -> the
-# shared-key self-join on h (dup families are tiny, the pipe8
-# argument; a boilerplate-grade fingerprint shared corpus-wide would be
-# removed by d11/pipe8 upstream) -> d6's loop-pinned label propagation.
+# CAPPED shared-key self-join (operators/chunking.py::
+# chunk_fingerprint_edges, max_chunk_df stop-fingerprint rule — the
+# jaccard_pairs pattern, round-8 verdict #1) -> d6's loop-pinned label
+# propagation. The cap is ENFORCED here, not assumed of some upstream
+# step: a boilerplate-grade window shared by F documents would emit F²
+# pairs in one shuffle partition and weld the corpus into one split
+# component; with the cap the worst bucket is cap² pairs and the
+# co-assignment graph carries only non-boilerplate windows — which is
+# the leakage relation the split actually needs (mirrored in the
+# oracle's hdf/chk CTEs, the d2 convention).
 # ---------------------------------------------------------------------------
 @register(
     "smp10_chunk_leakage_split",
@@ -3545,9 +3553,15 @@ def pipe8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     start_tok + {_CHUNK_W} - 1), ' ')) AS h
         FROM st
       ),
+      hdf AS (
+        SELECT h FROM ch GROUP BY h HAVING count(*) <= {_SMP10_MAX_DF}
+      ),
+      chk AS (
+        SELECT c.doc_id, c.h FROM ch c JOIN hdf USING (h)
+      ),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM chk a JOIN chk b ON a.h = b.h AND a.doc_id < b.doc_id
       ),
       und AS (
         SELECT doc_a AS s, doc_b AS t FROM pairs
@@ -3574,7 +3588,7 @@ def pipe8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def smp10_chunk_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.chunking import chunk_by_tokens
+    from ..operators.chunking import chunk_by_tokens, chunk_fingerprint_edges
     from ..operators.graph import connected_components
     from ..operators.sampling import split_column
 
@@ -3587,19 +3601,7 @@ def smp10_chunk_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("chunk_text").alias("h"))
         .distinct()
     )
-    pairs = (
-        ch.alias("a")
-        .join(
-            ch.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    pairs = chunk_fingerprint_edges(ch, max_chunk_df=_SMP10_MAX_DF)
     comp = connected_components(
         d.select("doc_id"), pairs,
         vertex_col="doc_id", src_col="doc_a", dst_col="doc_b",

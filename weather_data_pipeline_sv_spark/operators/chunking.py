@@ -28,6 +28,60 @@ from pyspark.sql import functions as F
 CHUNK_WINDOW = 32
 CHUNK_STRIDE = 24
 
+#: Default stop-fingerprint cap for the shared-chunk self-join (the
+#: chunk-level twin of ``dedup.JACCARD_MAX_SHINGLE_DF``, and the same
+#: reasoning): the pair join is quadratic INSIDE each fingerprint
+#: bucket, so one boilerplate-grade window — a license header, nav
+#: text, a template fragment — shared by 10^6 documents would emit
+#: 10^12 pairs in one shuffle partition AND weld those documents into
+#: a single connected component, collapsing any split built on the
+#: co-assignment graph. A window shared by more than this many
+#: documents is boilerplate (the d11/C4 rule's jurisdiction), not
+#: leakage signal; capping df bounds the worst bucket at cap² pairs
+#: regardless of corpus size. Pass ``max_chunk_df=None`` to disable
+#: (exact all-windows semantics).
+CHUNK_MAX_DF = 1000
+
+
+def chunk_fingerprint_edges(
+    ch: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+    max_chunk_df: int | None = CHUNK_MAX_DF,
+) -> DataFrame:
+    """Undirected co-assignment edges — one (doc_a, doc_b) pair per
+    document pair sharing a chunk fingerprint (a < b, distinct).
+
+    ``ch``: distinct (id, fingerprint) rows, e.g. ``chunk_by_tokens``
+    output hashed with ``md5(chunk_text)``. The default ``max_chunk_df``
+    cap drops fingerprints whose document frequency exceeds the cap
+    BEFORE the self-join (stop-fingerprint rule, see ``CHUNK_MAX_DF``):
+    semantics are "shares a non-boilerplate window", which is the
+    leakage relation a train/test split actually needs — a corpus-wide
+    window carries no contamination signal, only join skew and a
+    mega-component."""
+    if max_chunk_df is not None:
+        hot = (
+            ch.groupBy(hash_col)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_chunk_df)
+            .select(hash_col)
+        )
+        ch = ch.join(hot, hash_col, "left_anti")
+    return (
+        ch.alias("a")
+        .join(
+            ch.alias("b"),
+            (F.col(f"a.{hash_col}") == F.col(f"b.{hash_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
 
 def chunk_by_tokens(
     df: DataFrame,
