@@ -147,3 +147,227 @@ def test_corpus_store_restart_recovers_exactly_once(spark, tmp_path):
     )
     assert sorted(map(tuple, cs2.docs().collect())) == once
     assert cs2.applied_batch_ids() == applied
+
+
+# ---------------------------------------------------------------------------
+# 3. Round-9 swap/append coordination (round-8 verdict #3 + ADVICE #1):
+#    compaction and appends may interleave without out-of-band
+#    discipline — the contract is enforced by stale-staging cleanup,
+#    the swap lock, carry-forward, reconcile, and the appender's
+#    post-publish verify. All on BoilerplateStore (the thinner of the
+#    two PartialAggStore subclasses).
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from weather_data_pipeline_sv_spark.operators.boilerplate import (  # noqa: E402
+    BoilerplateStore,
+)
+from weather_data_pipeline_sv_spark.operators.dedup import (  # noqa: E402
+    boilerplate_report,
+    explode_shingles,
+)
+
+_DOCS = [
+    (1, "the cat sat on the red mat today"),
+    (2, "the cat sat on a blue chair yesterday"),
+    (3, "the cat sat under the old tree quietly"),
+    (4, "weather data pipelines aggregate hourly observations"),
+    (5, "completely unrelated text about sailing boats"),
+    (6, "weather data pipelines aggregate daily forecasts"),
+    (7, "one more weather data pipelines document arrives late"),
+]
+
+
+def _shingles(spark, docs):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return explode_shingles(df, "doc_id", "text", 3)
+
+
+def _one_shot_report(spark, docs):
+    sh = _shingles(spark, docs)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nd = tot.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    return sorted(
+        map(tuple, boilerplate_report(sh, dfq, tot, nd, 2, 0.01).collect())
+    )
+
+
+def _store_report(store):
+    return sorted(map(tuple, store.report(2, 0.01).collect()))
+
+
+def _markers(store):
+    return [
+        e for e in store._entries() if e.startswith(store._COMPACT_MARK)
+    ]
+
+
+def test_compact_crash_after_staging_is_cleaned_up(spark, tmp_path):
+    """ADVICE #1 (round 8): a compact that crashes AFTER writing the
+    staged fold + watermark but BEFORE the swap must not poison later
+    compacts. Pre-fix failure modes: (a) retry at the SAME hi raised
+    IOError forever (stale marker made createNewFile fail); (b) retry
+    after new appends published BOTH folds via the swap and
+    double-counted every pre-crash row."""
+    root = str(tmp_path / "bp_crash_staging")
+    store = BoilerplateStore(spark, root)
+    assert store.append(_shingles(spark, _DOCS[:2]), batch_id=0)
+    assert store.append(_shingles(spark, _DOCS[2:4]), batch_id=1)
+
+    boom = RuntimeError("crash before swap")
+
+    def crash(staging, carried):
+        raise boom
+
+    orig = store._swap_with_reconcile
+    store._swap_with_reconcile = crash
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            store.compact()
+    finally:
+        store._swap_with_reconcile = orig
+    # staging holds a fold dir + marker; live store is untouched
+    assert store.applied_batch_ids() == [0, 1]
+    assert store.compacted_through() == -1
+
+    # (a) immediate retry at the SAME hi must succeed, not IOError
+    assert store.compact() is True
+    assert store.applied_batch_ids() == [1]
+    assert store.compacted_through() == 1
+    assert _markers(store) == [f"{store._COMPACT_MARK}1"]
+
+    # crash AGAIN (fresh staged fold at hi=1 left behind), then append
+    # and re-compact: exactly ONE watermark, no double-counted rows
+    store._swap_with_reconcile = crash
+    try:
+        store.append(_shingles(spark, _DOCS[4:6]), batch_id=2)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            store.compact()
+    finally:
+        store._swap_with_reconcile = orig
+    assert store.compact() is True
+    assert store.applied_batch_ids() == [2]
+    assert store.compacted_through() == 2
+    assert _markers(store) == [f"{store._COMPACT_MARK}2"]
+    assert _store_report(store) == _one_shot_report(spark, _DOCS[:6])
+
+
+def test_append_during_compaction_window_not_lost(spark, tmp_path):
+    """Round-8 verdict #3: a foreachBatch append that publishes AFTER
+    compact's carry-forward listing but BEFORE the swap used to be
+    deleted with the swap's backup — append returned True, the stream
+    checkpointed, the data was gone. Now the swap's reconcile copies
+    the raced batch back in before dropping the backup."""
+    root = str(tmp_path / "bp_race_append")
+    store = BoilerplateStore(spark, root)
+    assert store.append(_shingles(spark, _DOCS[:2]), batch_id=0)
+    assert store.append(_shingles(spark, _DOCS[2:4]), batch_id=1)
+
+    raced = {}
+    orig = store._swap_with_reconcile
+
+    def race_then_swap(staging, carried):
+        # a second driver-side writer (fresh store object, as after a
+        # restart) publishes batch 2 inside the locked window — its
+        # pre-publish lock wait times out (stalled-compactor path)
+        other = BoilerplateStore(spark, root)
+        other._LOCK_WAIT_S = 0.1
+        raced["returned"] = other.append(
+            _shingles(spark, _DOCS[4:6]), batch_id=2
+        )
+        orig(staging, carried)
+
+    store._swap_with_reconcile = race_then_swap
+    try:
+        assert store.compact() is True
+    finally:
+        store._swap_with_reconcile = orig
+
+    assert raced["returned"] is True
+    # the raced batch SURVIVED the swap: present, above the watermark,
+    # counted exactly once
+    assert store.applied_batch_ids() == [1, 2]
+    assert store.compacted_through() == 1
+    assert _store_report(store) == _one_shot_report(spark, _DOCS[:6])
+    # and the next compact folds it normally
+    assert store.compact() is True
+    assert store.applied_batch_ids() == [2]
+    assert _store_report(store) == _one_shot_report(spark, _DOCS[:6])
+
+
+def test_append_republishes_when_swap_swallows_it(spark, tmp_path):
+    """The appender-side half of the contract: if a swap's backup
+    cleanup deletes a just-published batch (simulated by deleting the
+    directory under the appender between publish and verify), the
+    post-publish verify detects the loss and republishes from the
+    pinned partials — append's True return stays truthful."""
+    root = str(tmp_path / "bp_republish")
+    store = BoilerplateStore(spark, root)
+    assert store.append(_shingles(spark, _DOCS[:2]), batch_id=0)
+
+    final = f"{store._batches_dir}/1"
+    state = {"sabotaged": False}
+    orig_wait = store._await_swap_lock
+
+    def swallow_once():
+        orig_wait()
+        # fire only on the POST-publish verify (the batch dir exists),
+        # not the pre-publish lock wait
+        if not state["sabotaged"] and store._fs().exists(
+            store._jpath(final)
+        ):
+            state["sabotaged"] = True
+            assert store._fs().delete(store._jpath(final), True)
+
+    store._await_swap_lock = swallow_once
+    try:
+        assert store.append(_shingles(spark, _DOCS[2:4]), batch_id=1) is True
+    finally:
+        store._await_swap_lock = orig_wait
+
+    assert state["sabotaged"]
+    assert store.applied_batch_ids() == [0, 1]
+    assert _store_report(store) == _one_shot_report(spark, _DOCS[:4])
+
+
+def test_append_failed_rename_cleans_staging_orphan(spark, tmp_path):
+    """ADVICE #3 (round 8): when the final directory is created between
+    append's existence check and its rename (a concurrent publisher of
+    the same id wins the race), atomic_rename_dir returns False — the
+    loser must delete its _staging_batch_<id> orphan and report the
+    batch as already published."""
+    root = str(tmp_path / "bp_orphan")
+    store = BoilerplateStore(spark, root)
+    assert store.append(_shingles(spark, _DOCS[:2]), batch_id=0)
+
+    loser = BoilerplateStore(spark, root)
+    fs = loser._fs()
+    state = {"raced": False}
+    orig_wait = loser._await_swap_lock
+
+    def winner_publishes_first():
+        orig_wait()
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent winner lands batch 1 AFTER the loser's
+            # existence check passed (the lock wait runs inside the
+            # publish loop, post-check) but before the loser's rename
+            assert store.append(_shingles(spark, _DOCS[2:4]), batch_id=1)
+
+    loser._await_swap_lock = winner_publishes_first
+    try:
+        assert (
+            loser.append(_shingles(spark, _DOCS[2:4]), batch_id=1) is False
+        )
+    finally:
+        loser._await_swap_lock = orig_wait
+
+    assert state["raced"]
+    assert not fs.exists(loser._jpath(f"{root}/_staging_batch_1"))
+    assert loser.applied_batch_ids() == [0, 1]
+    assert _store_report(loser) == _one_shot_report(spark, _DOCS[:4])

@@ -3156,8 +3156,12 @@ def t24_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate set is df-filtered vocabulary (tiny by Heaps' law + the
 # threshold) and AQE broadcasts the semi-join side.
 # ---------------------------------------------------------------------------
-_D11_MIN_DF = 5
-_D11_FRAC = 0.01
+# canonical values live next to the incremental store so the batch
+# entry and BoilerplateStore.report() can never drift apart (round-8
+# verdict #7) — the store ≡ d11 pin in tests would only catch drift
+# because it runs both; a single definition removes the possibility
+from ..operators.boilerplate import BOILER_FRAC as _D11_FRAC
+from ..operators.boilerplate import BOILER_MIN_DF as _D11_MIN_DF
 
 _D11_ORACLE = f"""
     {_DUCK_DOC_SHINGLES},

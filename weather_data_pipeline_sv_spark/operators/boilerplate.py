@@ -28,9 +28,9 @@ from pyspark.sql import functions as F
 from .aggstore import PartialAggStore
 from .dedup import boilerplate_report
 
-#: The catalog's d11/d12 rule parameters (kept numerically identical to
-#: catalog/text.py's _D11_* so store output can be pinned against the
-#: oracle-checked batch entry).
+#: The CANONICAL d11/d12/store rule parameters — catalog/text.py's
+#: _D11_* are imports of these (round-8 verdict #7: one definition, so
+#: the oracle-checked batch entries and the live store cannot drift).
 BOILER_MIN_DF = 5
 BOILER_FRAC = 0.01
 
