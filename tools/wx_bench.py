@@ -98,7 +98,14 @@ def entries(spark, t: dict) -> dict:
         "wx_flagship_history": lambda: weather_history(
             gold("broadcast"), FLAGSHIP_PLZ, "observation", asof, 24
         ).collect(),
-        "wx_latest_view": lambda: v_latest_observations(gold("broadcast"))
+        # the view composes over the AUTO pipeline: round-9 decomposition
+        # (wx30, isolated) showed the view's wall ≈ the obs branch alone
+        # (54.1 vs 62.1 s broadcast; the pinned-view second pass reads
+        # the postal×hour cache, whose size is scale-INVARIANT), so its
+        # 10×→30× growth was the broadcast BNL's past-crossover
+        # superlinearity — the selector, now metadata-priced, is the
+        # scaler fix (grid at wx30: 45.7 vs 54.1 s measured)
+        "wx_latest_view": lambda: v_latest_observations(gold("auto"))
         .write.format("noop").mode("overwrite").save(),
     }
 

@@ -38,7 +38,7 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every catalog module so its queries register."""
-    from . import composite, core, extras, multimodal, text, vector, weatherlike  # noqa: F401
+    from . import composite, core, extras, hybrid, multimodal, text, vector, weatherlike  # noqa: F401
 
 
 def all_queries():

@@ -1,0 +1,248 @@
+"""T28 — hybrid retrieval with the PRODUCTION dense leg (round-8
+verdict #2): t27 proves the fusion algebra against an exact-cosine
+dense leg; this entry proves the claim t27's docstring could only
+assert — that the dense side swaps to the IVFADC probe (v16's chain,
+``operators/similarity.py::ivfpq_topk``) with the fusion layer
+unchanged. Same hybrid universe (doc_id = vec_id carrying both a token
+stream and an embedding), same BM25 sparse leg, same query rule on
+both legs, same RRF rule — only the dense ranks now come from the
+compressed, probe-pruned index instead of the exhaustive cosine.
+
+The ENTIRE serving composition is oracle-replayed: BM25 chain (t23's
+CTEs), sampled joint-Lloyd IVFPQ chain (v16's CTEs, restricted to the
+universe via ``_duck_pq_prefix(v_body=...)`` and re-pointed at the
+BM25 query rule via ``_duck_pq_dts(query_pred=...)``), and the RRF
+fold — so the hash check covers the exact fused ranking the ANN leg
+produces, not just its ingredients.
+
+Deliberate divergence from t27 (documented, not drift): the ANN leg
+EXCLUDES self-retrieval (``x.vec_id <> p.query_id``, the v16/FAISS
+convention — a persisted index answering "neighbors of this stored
+vector" filters the identity hit), where t27's exact leg includes it.
+
+Retrieval QUALITY of this composition — fused recall@k vs t27's
+exact-dense fusion at a real corpus size, per (n_probe, rerank-R)
+operating point — is measured by tools/t28_fused_recall.py and
+recorded in RECALL_HYBRID.json / SCALE.md; this entry pins the
+DEFINITION, the tool locates the operating point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import ensure_min_parallelism
+from ..functions.rounding import rnd_sql
+from ..operators import similarity as sim
+from ..operators.retrieval import BM25_B, BM25_K1
+from ..sources import load_tables
+from . import register
+from .text import (
+    _BM25_K,
+    _BM25_QMOD,
+    _BM25_QTERMS,
+    _DUCK_TOKENS,
+    _T27_RRF_K,
+    _docs_with_tokens,
+)
+from .vector import (
+    _D2,
+    _DIM,
+    _N_LISTS,
+    _N_PROBE,
+    _PQ_ADC_SUM,
+    _PQ_K,
+    _PQ_SUB,
+    _PQ_SUBDIM,
+    _V16_DT_JOINS,
+    _V16_TRAIN,
+    _dense_count,
+    _duck_assign,
+    _duck_pq_dts,
+    _duck_pq_prefix,
+    _duck_recompute,
+)
+
+# the v16 sampled-training CTEs, re-derived here because prm must count
+# the UNIVERSE (what the Spark side trains on), not all embeddings
+_T28_EXTRA = [
+    f"""prm AS (
+      SELECT greatest(1, CAST(count(*) AS BIGINT) // {_V16_TRAIN}) AS m
+      FROM v
+    )""",
+    "vt AS (SELECT v.* FROM v CROSS JOIN prm WHERE v.vec_id % prm.m = 0)",
+]
+
+_T28_QPRED = f"vec_id % {_BM25_QMOD} = 0"
+
+
+@register(
+    "t28_hybrid_rrf_ann",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+    ), u AS (
+      SELECT t.doc_id, t.tokens FROM tk t
+      JOIN embeddings e ON e.vec_id = t.doc_id
+      WHERE len(t.tokens) > 0
+    ), tocc AS (
+      SELECT doc_id, unnest(tokens) AS term FROM u
+    ), toc AS (
+      SELECT doc_id, term FROM tocc WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toc GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS doc_len FROM toc GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(doc_len AS DOUBLE)) AS avgdl
+      FROM dl
+    ), qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id,
+               unnest(list_slice(tokens, 1, {_BM25_QTERMS})) AS term
+        FROM u WHERE doc_id % {_BM25_QMOD} = 0
+      ) WHERE term <> ''
+    ), sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.doc_len / stats.avgdl))
+             ) AS score
+      FROM qt q
+      JOIN tf USING (term)
+      JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ), srk AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('score', 6)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM sc
+    ),
+    {_duck_pq_prefix(
+        train_src="vt", extra=_T28_EXTRA,
+        v_body="SELECT e.vec_id, e.embedding::DOUBLE[] AS emb"
+               " FROM embeddings e JOIN u ON u.doc_id = e.vec_id",
+    )},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+             emb AS centroid
+      FROM vt ORDER BY vec_id LIMIT {_N_LISTS}
+    ),
+    {_duck_assign('a0', 'c0', table='vt')},
+    {_duck_recompute('c1', 'a0', 'c0')},
+    {_duck_assign('a1', 'c1', table='vt')},
+    {_duck_recompute('c2', 'a1', 'c1')},
+    {_duck_assign('assigned', 'c2')},
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT v.vec_id AS query_id, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {rnd_sql(_D2.format(dim=_DIM, a='v.emb', b='c.centroid'), 9)} ASC,
+                          c.list_id ASC) AS rn
+        FROM v CROSS JOIN c2 c WHERE v.{_T28_QPRED}
+      ) WHERE rn <= {_N_PROBE}
+    ),
+    {_duck_pq_dts(query_pred=_T28_QPRED)},
+    pairs AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_SUM} AS adc
+      FROM probes p
+      JOIN assigned x ON x.list_id = p.list_id AND x.vec_id <> p.query_id
+      {_V16_DT_JOINS}
+    ),
+    drk AS (
+      SELECT query_id, neighbor_id AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC
+             ) AS INTEGER) AS rank
+      FROM pairs
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, 1.0 / ({_T27_RRF_K} + rank) AS c
+      FROM srk WHERE rank <= {_BM25_K}
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / ({_T27_RRF_K} + rank) AS c
+      FROM drk WHERE rank <= {_BM25_K}
+    ),
+    fused AS (
+      SELECT query_id, doc_id, sum(c) AS rrf
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    frk AS (
+      SELECT query_id, doc_id, rrf,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('rrf', 9)} DESC, doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, rank, {rnd_sql('rrf', 6)} AS rrf
+    FROM frk WHERE rank <= {_BM25_K}
+    """,
+)
+def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    emb = (
+        ensure_min_parallelism(
+            load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        )
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    uni = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+    )
+    # sparse leg: t27's exact chain
+    doc_terms = uni.select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).filter(F.col("term") != "")
+    q_terms = (
+        uni.filter(F.col("doc_id") % _BM25_QMOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("tokens", 1, _BM25_QTERMS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sparse = bm25_topk(doc_terms, q_terms, k=_BM25_K)
+
+    # dense leg: v16's IVFADC probe over the universe — sampled joint
+    # Lloyd (stride mirrored in the prm CTE), one assign+encode pass,
+    # broadcast probe join pruning unprobed lists map-side
+    emb_u = emb.join(
+        uni.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    m = max(1, _dense_count(emb_u) // _V16_TRAIN)
+    train = emb_u.filter(F.col("vec_id") % m == 0)
+    q = emb_u.filter(F.col("vec_id") % _BM25_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    ann = sim.ivfpq_topk(
+        emb_u, q, k=_BM25_K,
+        n_lists=_N_LISTS, n_probe=_N_PROBE,
+        n_sub=_PQ_SUB, k_codes=_PQ_K, sub_dim=_PQ_SUBDIM, n_iter=2,
+        train=train,
+    )
+    dense = ann.select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense],
+        k=_BM25_K, rrf_k=_T27_RRF_K,
+    )

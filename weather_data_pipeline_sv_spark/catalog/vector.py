@@ -1653,7 +1653,8 @@ def _duck_pq_recompute(name: str, assigned: str, prev: str) -> str:
 
 
 def _duck_pq_prefix(
-    train_src: str = "v", extra: list[str] | None = None
+    train_src: str = "v", extra: list[str] | None = None,
+    v_body: str = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings",
 ) -> str:
     """Shared WITH-body: per-subspace slice views + the 2-step Lloyd chain
     ending in codebook s{s}c2 and final assignment s{s}e (code + distance).
@@ -1661,9 +1662,11 @@ def _duck_pq_prefix(
     steps) at a sampled view of v (v16's corpus-count-derived stride,
     defined via ``extra`` CTEs) while the final assignment s{s}e always
     covers the full corpus; the default trains on all of v — v13/v14's
-    chains are byte-identical to the pre-parameter form."""
+    chains are byte-identical to the pre-parameter form. ``v_body``
+    redefines what the corpus CTE ``v`` selects (t28 restricts it to
+    the hybrid universe; the default is every embedding)."""
     parts = [
-        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"v AS ({v_body})",
         f"subdims AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS d)",
         *(extra or []),
     ]
@@ -1742,14 +1745,19 @@ _PQ_DT_JOINS = "\n      ".join(
 _PQ_ADC_SUM = " + ".join(f"dt{s}.d" for s in range(_PQ_SUB))
 
 
-def _duck_pq_dts() -> str:
+def _duck_pq_dts(query_pred: str | None = None) -> str:
+    """Per-subspace query slices + ADC distance tables. ``query_pred``
+    overrides the query-selection predicate over ``v`` (default: the
+    v14/v16 convention ``vec_id < _N_QUERIES``; t28 passes the BM25
+    query rule so both hybrid legs share one query set)."""
+    pred = query_pred or f"vec_id < {_N_QUERIES}"
     parts = []
     for s in range(_PQ_SUB):
         off = s * _PQ_SUBDIM
         parts.append(
             f"""qs{s} AS (
       SELECT vec_id AS query_id, emb[{off + 1}:{off + _PQ_SUBDIM}] AS emb
-      FROM v WHERE vec_id < {_N_QUERIES}
+      FROM v WHERE {pred}
     )"""
         )
         d2 = rnd_sql(

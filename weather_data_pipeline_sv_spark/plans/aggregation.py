@@ -19,11 +19,12 @@ group-by, keyed on (postal_code, hour) — high cardinality, well spread.
 ``spatial_join`` selects the fan-out strategy: "broadcast" (the
 reference-scale default — broadcast NL + haversine filter), "grid"
 (``operators/spatial.py::bucketed_range_join``, the X4 equi-join path
-for a postal dim too big to broadcast), or "auto" (count the dim AND
-the windowed fact — two cheap jobs — and pick; grid past
-``BROADCAST_MAX_CENTROIDS`` on the dim side or
-``BROADCAST_MAX_PROBE_PAIRS`` on the |points| x |centroids| product,
-both constants justified from the measured BENCH_WEATHER crossover).
+for a postal dim too big to broadcast), or "auto" (count the small dim
+— one cheap job — and bound the windowed fact from parquet FOOTER
+stats, no data scanned; grid past ``BROADCAST_MAX_CENTROIDS`` on the
+dim side or ``BROADCAST_MAX_PROBE_PAIRS`` on the |points| x
+|centroids| product, both constants justified from the measured
+BENCH_WEATHER crossover).
 Both produce IDENTICAL pairs (pinned in tests/test_weather_pipeline);
 tools/wx_bench.py measures the crossover on the scaled weather dirs.
 """
@@ -59,6 +60,68 @@ BROADCAST_MAX_CENTROIDS = 100_000
 #: and GRID wins by 18% (96.7 vs 117.4 s). The threshold sits at the
 #: geometric midpoint of the two measured sides of the crossover.
 BROADCAST_MAX_PROBE_PAIRS = 250_000_000
+
+
+def _windowed_points_upper_bound(
+    stg: DataFrame, filter_col: str, cutoff: dt.datetime
+) -> int | None:
+    """Upper bound on the windowed fact's row count from parquet FOOTER
+    statistics — zero data scanned (round-8 verdict #5: the auto
+    selector's ``located.count()`` decision job cost ~6 s at the 30x
+    weather dir; this probe costs milliseconds).
+
+    Sums the rows of every row group whose max(``filter_col``) reaches
+    the lookback cutoff. Chronologically written fact tables (the
+    writers sort fact partitions by time; the test dirs are generated
+    that way) give a near-exact bound; a randomly laid-out table
+    degrades to the full count — still a valid upper bound, which only
+    ever errs toward the grid path (the safe choice at scale). Returns
+    None — caller falls back to the exact count — when the plan's
+    leaves are not local parquet files, the column is missing, or stats
+    are unreadable; the estimate is an OPTIMIZATION with a correctness-
+    preserving fallback, never a requirement."""
+    try:
+        files = stg.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return None
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" in path:
+            # remote filesystem: the driver-side footer read would need
+            # an FS client; stay on the exact-count path
+            return None
+        try:
+            pf = pq.ParquetFile(path)
+            names = list(pf.schema_arrow.names)
+            if filter_col not in names:
+                return None
+            ci = names.index(filter_col)
+            md = pf.metadata
+            for r in range(md.num_row_groups):
+                rg = md.row_group(r)
+                st = rg.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    total += rg.num_rows  # no stats: include (bound holds)
+                else:
+                    mx = st.max
+                    if getattr(mx, "tzinfo", None) is not None:
+                        mx = mx.replace(tzinfo=None)
+                    if mx >= cutoff:
+                        total += rg.num_rows
+        except Exception:
+            return None
+    return total
 
 
 def _idw_mean(col: str) -> Column:
@@ -113,12 +176,20 @@ def map_to_postal_codes(
             spatial_join = "grid"
         else:
             # point-side crossover: BNL work is |points| x |centroids|
-            # haversines, so count the windowed fact too. The count is
-            # one cheap extra job — an aggregate over the scan with the
-            # lookback/quality filters pushed down, nothing
-            # materialized — and at the scale where it is not cheap the
-            # answer it produces ("grid") saves far more than it costs.
-            n_points = located.count()
+            # haversines, so size the windowed fact too — from parquet
+            # footer stats (milliseconds, no data scanned; round-8
+            # verdict #5 measured the previous located.count() decision
+            # job at ~6 s at the 30x dir). The footer bound ignores the
+            # quality/join filters, so it only ever overestimates —
+            # erring toward grid, the safe side at scale. Falls back to
+            # the exact count when the plan's leaves aren't local
+            # parquet (e.g. in-memory test frames).
+            cutoff_dt = asof - dt.timedelta(hours=int(lookback_hours))
+            n_points = _windowed_points_upper_bound(
+                stg, filter_col, cutoff_dt
+            )
+            if n_points is None:
+                n_points = located.count()
             spatial_join = (
                 "broadcast"
                 if n_points * n_centroids <= BROADCAST_MAX_PROBE_PAIRS
