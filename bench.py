@@ -240,6 +240,33 @@ def measure_best(run_fn, n_runs: int) -> tuple[float, float | None]:
     )
 
 
+def _host_calibration() -> dict:
+    """Fixed-size single-thread probes recorded alongside every bench:
+    a cross-SESSION speed denominator. Round-9 lesson: the PQ family
+    (code untouched since r4) measured cpu 20.2/25.8/25.4/38.4 s across
+    four sessions — shared-host speed drifts round to round, and
+    without a calibration number a slower host is indistinguishable
+    from a code regression. Compare bench artifacts as
+    value / calibration ratio, not raw walls."""
+    import numpy as np
+
+    # interpreter speed: fixed pure-Python loop
+    t0 = time.process_time()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    py_s = time.process_time() - t0
+    # memory/FPU speed: fixed single-shot matmul (BLAS may thread; use
+    # process_time so the number is cpu-seconds, thread-count invariant)
+    a = np.random.default_rng(0).standard_normal((1024, 1024))
+    t0 = time.process_time()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max()
+    np_s = time.process_time() - t0
+    return {"python_loop_s": round(py_s, 3), "numpy_matmul_s": round(np_s, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -414,6 +441,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "cpu_queries": cpu_timings,
+            "host_calibration_s": _host_calibration(),
             "sf": sf,
         }
     )
