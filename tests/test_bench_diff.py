@@ -122,3 +122,25 @@ def test_cpu_breach_with_wall_past_noise_floor_is_fatal(tmp_path):
     r = _run(old, new)
     assert r.returncode == 1
     assert "REGRESSION" in r.stdout
+
+
+def test_cpu_breach_with_wall_within_relative_floor_is_not_fatal(tmp_path):
+    """Round-9 attribution class (t25 shape): a write-heavy entry's
+    process-tree cpu swings ±30% session to session (JVM background
+    threads) while its wall stays within 15% — even when the absolute
+    wall delta exceeds min_delta. The cpu breach warns, doesn't fail."""
+    old = _art(tmp_path / "o.json", {"q": 5.54}, {"q": 35.4})
+    new = _art(tmp_path / "n.json", {"q": 6.07}, {"q": 56.9})  # t25 shape
+    r = _run(old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "attribution class" in r.stdout
+
+
+def test_cpu_breach_with_wall_past_relative_floor_is_fatal(tmp_path):
+    """Both floors breached (wall 1.3x AND delta > min_delta) with cpu
+    over threshold: a real regression, still fatal."""
+    old = _art(tmp_path / "o.json", {"q": 5.0}, {"q": 30.0})
+    new = _art(tmp_path / "n.json", {"q": 6.5}, {"q": 50.0})
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "REGRESSION" in r.stdout
