@@ -76,10 +76,12 @@ _T28_EXTRA = [
 
 _T28_QPRED = f"vec_id % {_BM25_QMOD} = 0"
 
-
-@register(
-    "t28_hybrid_rrf_ann",
-    oracle=f"""
+# shared by t28 (in-memory composition) and t29 (persisted serving
+# composition): identical semantics by construction, so t29's hash
+# match against the SAME oracle proves the persist/prune layers of
+# both legs result-invisible — the d10-shares-d7 / t25-shares-t23
+# proof shape, now for the whole serving stack at once.
+_T28_ORACLE = f"""
     WITH tk AS (
       SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
     ), u AS (
@@ -188,11 +190,15 @@ _T28_QPRED = f"vec_id % {_BM25_QMOD} = 0"
     )
     SELECT query_id, doc_id, rank, {rnd_sql('rrf', 6)} AS rrf
     FROM frk WHERE rank <= {_BM25_K}
-    """,
-)
-def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import bm25_topk, rrf_fuse
+    """
 
+
+def _hybrid_inputs(spark: SparkSession, sf_dir: str) -> dict:
+    """The shared t28/t29 inputs: hybrid universe, exploded doc terms,
+    query terms, universe embeddings, sampled train slice, query
+    vectors. Both entries MUST derive these identically — sharing one
+    builder is what makes t29's hash match against t28's oracle a proof
+    about the persistence layer alone."""
     docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
     emb = (
         ensure_min_parallelism(
@@ -206,7 +212,6 @@ def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.join(
         emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
     )
-    # sparse leg: t27's exact chain
     doc_terms = uni.select(
         "doc_id", F.explode("tokens").alias("term")
     ).filter(F.col("term") != "")
@@ -219,11 +224,6 @@ def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .distinct()
     )
-    sparse = bm25_topk(doc_terms, q_terms, k=_BM25_K)
-
-    # dense leg: v16's IVFADC probe over the universe — sampled joint
-    # Lloyd (stride mirrored in the prm CTE), one assign+encode pass,
-    # broadcast probe join pruning unprobed lists map-side
     emb_u = emb.join(
         uni.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
@@ -232,12 +232,15 @@ def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb_u.filter(F.col("vec_id") % _BM25_QMOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    ann = sim.ivfpq_topk(
-        emb_u, q, k=_BM25_K,
-        n_lists=_N_LISTS, n_probe=_N_PROBE,
-        n_sub=_PQ_SUB, k_codes=_PQ_K, sub_dim=_PQ_SUBDIM, n_iter=2,
-        train=train,
-    )
+    return {
+        "doc_terms": doc_terms, "q_terms": q_terms,
+        "emb_u": emb_u, "train": train, "q": q,
+    }
+
+
+def _fuse_legs(sparse: DataFrame, ann: DataFrame) -> DataFrame:
+    from ..operators.retrieval import rrf_fuse
+
     dense = ann.select(
         "query_id", F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -246,3 +249,67 @@ def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         [sparse.select("query_id", "doc_id", "rank"), dense],
         k=_BM25_K, rrf_k=_T27_RRF_K,
     )
+
+
+@register("t28_hybrid_rrf_ann", oracle=_T28_ORACLE)
+def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    inp = _hybrid_inputs(spark, sf_dir)
+    # sparse leg: t27's exact chain
+    sparse = bm25_topk(inp["doc_terms"], inp["q_terms"], k=_BM25_K)
+    # dense leg: v16's IVFADC probe over the universe — sampled joint
+    # Lloyd (stride mirrored in the prm CTE), one assign+encode pass,
+    # broadcast probe join pruning unprobed lists map-side
+    ann = sim.ivfpq_topk(
+        inp["emb_u"], inp["q"], k=_BM25_K,
+        n_lists=_N_LISTS, n_probe=_N_PROBE,
+        n_sub=_PQ_SUB, k_codes=_PQ_K, sub_dim=_PQ_SUBDIM, n_iter=2,
+        train=inp["train"],
+    )
+    return _fuse_legs(sparse, ann)
+
+
+# ---------------------------------------------------------------------------
+# T29 — the PERSISTED hybrid serving stack: both legs probe indexes on
+# disk, each with its own partition-pruning story — BM25 postings/df
+# partitioned by term-hash bucket (t25's layout: the probe reads
+# |query buckets|/64 of the postings at any corpus size) and IVFPQ
+# codes partitioned by list_id (v16's persisted form: the probe reads
+# n_probe/n_lists of the compressed files). Build once, serve many —
+# the composition a production deployment actually runs, where t28's
+# in-memory form re-trains and re-encodes per query batch.
+# Oracle: t28's VERBATIM. The hash match proves BOTH persistence+prune
+# layers result-invisible simultaneously, composed through the fusion.
+# ---------------------------------------------------------------------------
+@register("t29_hybrid_rrf_served", oracle=_T28_ORACLE)
+def t29_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..functions.caching import loop_cache
+    from ..operators.retrieval import probe_bm25_index, write_bm25_index
+
+    inp = _hybrid_inputs(spark, sf_dir)
+    # driver-local scratch — correct where driver and executors share a
+    # filesystem (the local-mode harness); a cluster passes a shared
+    # path (HDFS/object store), the operators go through the Hadoop
+    # FS-backed parquet reader/writer either way (the t25 note)
+    root = tempfile.mkdtemp(prefix="wdp_hybrid_index_")
+    try:
+        write_bm25_index(inp["doc_terms"], f"{root}/bm25")
+        sparse = probe_bm25_index(
+            spark, f"{root}/bm25", inp["q_terms"], k=_BM25_K
+        )
+        sim.write_ivfpq_index(
+            inp["emb_u"], f"{root}/ivfpq",
+            n_lists=_N_LISTS, n_sub=_PQ_SUB, k_codes=_PQ_K,
+            sub_dim=_PQ_SUBDIM, n_iter=2, train=inp["train"],
+        )
+        ann = sim.probe_ivfpq_index(
+            spark, f"{root}/ivfpq", inp["q"], k=_BM25_K, n_probe=_N_PROBE
+        )
+        # pin before the index directories disappear (the pipe5 rule)
+        return loop_cache(_fuse_legs(sparse, ann), eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
