@@ -158,3 +158,21 @@ def test_windowed_points_upper_bound(spark, tmp_path):
     mem = spark.createDataFrame([(base, 1)], "ts timestamp_ntz, v long")
     assert _windowed_points_upper_bound(mem, "ts", cutoff) is None
     assert _windowed_points_upper_bound(fact, "nope", cutoff) is None
+
+
+# ---------------------------------------------------------------------------
+# Hybrid serving stack: the persisted composition (t29) must answer
+# IDENTICALLY to the in-memory composition (t28) — the same proof the
+# shared oracle makes at sweep time, pinned here so plain pytest
+# catches drift between the two forms (train/encode/probe/fusion all
+# have to agree bit-for-bit for this to hold).
+# ---------------------------------------------------------------------------
+def test_persisted_hybrid_equals_in_memory(spark, sf_dir):
+    from weather_data_pipeline_sv_spark.catalog import all_queries
+
+    q = all_queries()
+    a = sorted(map(tuple, q["t28_hybrid_rrf_ann"](spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, q["t29_hybrid_rrf_served"](spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0
