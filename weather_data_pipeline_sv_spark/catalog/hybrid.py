@@ -1,39 +1,57 @@
-"""T28 — hybrid retrieval with the PRODUCTION dense leg (round-8
-verdict #2): t27 proves the fusion algebra against an exact-cosine
-dense leg; this entry proves the claim t27's docstring could only
-assert — that the dense side swaps to the IVFADC probe (v16's chain,
-``operators/similarity.py::ivfpq_topk``) with the fusion layer
-unchanged. Same hybrid universe (doc_id = vec_id carrying both a token
-stream and an embedding), same BM25 sparse leg, same query rule on
-both legs, same RRF rule — only the dense ranks now come from the
-compressed, probe-pruned index instead of the exhaustive cosine.
+"""T28–T31 — hybrid retrieval with the PRODUCTION dense leg.
 
-The ENTIRE serving composition is oracle-replayed: BM25 chain (t23's
-CTEs), sampled joint-Lloyd IVFPQ chain (v16's CTEs, restricted to the
-universe via ``_duck_pq_prefix(v_body=...)`` and re-pointed at the
-BM25 query rule via ``_duck_pq_dts(query_pred=...)``), and the RRF
-fold — so the hash check covers the exact fused ranking the ANN leg
-produces, not just its ingredients.
+t27 proves the fusion algebra against an exact-cosine dense leg; this
+family proves the claims t27's docstring could only assert:
+
+- t28: the dense side swaps to the IVFADC probe (v16's chain,
+  ``operators/similarity.py::ivfpq_topk``) with the fusion layer
+  unchanged — BM25 + IVFPQ(ADC ranks) + RRF.
+- t29: both legs probe PERSISTED indexes (t25's term-bucketed BM25
+  layout, v16's list_id-partitioned PQ codes), sharing t28's oracle
+  VERBATIM — the hash match proves both persistence+prune layers
+  result-invisible through the fusion.
+- t30 (round-10 verdict #1): the PRODUCTION OPERATING POINT — the ADC
+  ranks only a shortlist of R candidates inside the probed lists; the
+  shortlist is exactly re-ranked by true cosine (v18's FAISS "refine"
+  composition) before fusion. This is the configuration whose fused
+  recall@10 is MEASURED at 0.93 (n_probe=4, R=400 — RECALL_HYBRID.json;
+  t28/t29's R=0 form scores 0.58): BM25 + IVFPQ probe + exact re-rank
+  + RRF, the stack a production deployment actually runs.
+- t31: t30's persisted serving twin — both legs probe on-disk indexes,
+  the re-rank fetches R full vectors per query by id (the vector-store
+  fetch), sharing t30's oracle VERBATIM.
+
+All four share one universe (doc_id = vec_id carrying both a token
+stream and an embedding), one BM25 sparse leg, one query rule on both
+legs, one RRF rule. The ENTIRE serving composition is oracle-replayed:
+BM25 chain (t23's CTEs), sampled joint-Lloyd IVFPQ chain (v16's CTEs,
+restricted to the universe via ``_duck_pq_prefix(v_body=...)`` and
+re-pointed at the BM25 query rule via ``_duck_pq_dts(query_pred=...)``),
+the shortlist/re-rank stage (t30/t31, v18's CTE shape), and the RRF
+fold — so the hash check covers the exact fused ranking, not just its
+ingredients.
 
 Deliberate divergence from t27 (documented, not drift): the ANN leg
 EXCLUDES self-retrieval (``x.vec_id <> p.query_id``, the v16/FAISS
 convention — a persisted index answering "neighbors of this stored
 vector" filters the identity hit), where t27's exact leg includes it.
 
-Retrieval QUALITY of this composition — fused recall@k vs t27's
-exact-dense fusion at a real corpus size, per (n_probe, rerank-R)
-operating point — is measured by tools/t28_fused_recall.py and
-recorded in RECALL_HYBRID.json / SCALE.md; this entry pins the
-DEFINITION, the tool locates the operating point.
+Retrieval QUALITY per (n_probe, rerank-R) operating point is measured
+by tools/t28_fused_recall.py and recorded in RECALL_HYBRID.json /
+SCALE.md; these entries pin the DEFINITIONS, the tool locates the
+operating points. t30 pins the measured-best one.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_parallelism
-from ..functions.rounding import rnd_sql
+from ..functions.rounding import rnd, rnd_sql
 from ..operators import similarity as sim
 from ..operators.retrieval import BM25_B, BM25_K1
 from ..sources import load_tables
@@ -76,12 +94,15 @@ _T28_EXTRA = [
 
 _T28_QPRED = f"vec_id % {_BM25_QMOD} = 0"
 
-# shared by t28 (in-memory composition) and t29 (persisted serving
-# composition): identical semantics by construction, so t29's hash
-# match against the SAME oracle proves the persist/prune layers of
-# both legs result-invisible — the d10-shares-d7 / t25-shares-t23
-# proof shape, now for the whole serving stack at once.
-_T28_ORACLE = f"""
+# --- shared oracle pieces -------------------------------------------------
+# The hybrid oracle is composed from three parts so every entry in the
+# family provably shares the same sparse leg, probe chain and fusion
+# fold, differing ONLY in how the dense ranks are derived from `pairs`:
+#   _HYB_PREFIX — BM25 CTEs through srk, the IVFPQ chain through pairs
+#   <dense tail> — t28/t29: rank pairs by ADC; t30/t31: shortlist by
+#                  ADC, exact-cosine re-rank (v18's shape)
+#   _HYB_FUSE   — the RRF fold over srk + drk
+_HYB_PREFIX = f"""
     WITH tk AS (
       SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
     ), u AS (
@@ -160,7 +181,11 @@ _T28_ORACLE = f"""
       FROM probes p
       JOIN assigned x ON x.list_id = p.list_id AND x.vec_id <> p.query_id
       {_V16_DT_JOINS}
-    ),
+    ),"""
+
+# t28/t29 dense tail: the ADC order IS the dense ranking (R=0 — no
+# re-rank; fused recall@10 at this point measured 0.58)
+_T28_DRK = f"""
     drk AS (
       SELECT query_id, neighbor_id AS doc_id,
              CAST(row_number() OVER (
@@ -168,7 +193,9 @@ _T28_ORACLE = f"""
                ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC
              ) AS INTEGER) AS rank
       FROM pairs
-    ),
+    ),"""
+
+_HYB_FUSE = f"""
     contrib AS (
       SELECT query_id, doc_id, 1.0 / ({_T27_RRF_K} + rank) AS c
       FROM srk WHERE rank <= {_BM25_K}
@@ -192,13 +219,63 @@ _T28_ORACLE = f"""
     FROM frk WHERE rank <= {_BM25_K}
     """
 
+# shared by t28 (in-memory composition) and t29 (persisted serving
+# composition): identical semantics by construction, so t29's hash
+# match against the SAME oracle proves the persist/prune layers of
+# both legs result-invisible — the d10-shares-d7 / t25-shares-t23
+# proof shape, now for the whole serving stack at once.
+_T28_ORACLE = _HYB_PREFIX + _T28_DRK + _HYB_FUSE
+
+# t30/t31 dense tail: ADC selects a shortlist of R candidates inside
+# the probed lists (compressed reads only), exact cosine re-ranks the
+# shortlist (v18's CTE shape — R full vectors fetched per query, a
+# CONSTANT at any corpus size), and the re-ranked order is what enters
+# the fusion. R=400 with n_probe=4 is the MEASURED production point:
+# fused recall@10 = 0.93 on the 150k-doc clustered universe
+# (RECALL_HYBRID.json; 0.946 at n_probe=8).
+_T30_R = 400
+
+_T30_DRK = f"""
+    sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {rnd_sql('adc', 6)} ASC, neighbor_id ASC
+               ) AS rank
+        FROM pairs
+      ) WHERE rank <= {_T30_R}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM sl s
+      JOIN v q ON q.vec_id = s.query_id
+      JOIN v c ON c.vec_id = s.neighbor_id
+    ),
+    drk AS (
+      SELECT query_id, neighbor_id AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {rnd_sql('cos', 6)} DESC, neighbor_id ASC
+             ) AS INTEGER) AS rank
+      FROM rer
+    ),"""
+
+# shared by t30 (in-memory) and t31 (persisted serving) — the same
+# proof shape as _T28_ORACLE's t28/t29 pairing, at the re-ranked
+# operating point.
+_T30_ORACLE = _HYB_PREFIX + _T30_DRK + _HYB_FUSE
+
 
 def _hybrid_inputs(spark: SparkSession, sf_dir: str) -> dict:
-    """The shared t28/t29 inputs: hybrid universe, exploded doc terms,
+    """The shared t28–t31 inputs: hybrid universe, exploded doc terms,
     query terms, universe embeddings, sampled train slice, query
-    vectors. Both entries MUST derive these identically — sharing one
-    builder is what makes t29's hash match against t28's oracle a proof
-    about the persistence layer alone."""
+    vectors. All entries MUST derive these identically — sharing one
+    builder is what makes a served entry's hash match against the
+    in-memory entry's oracle a proof about the persistence layer alone."""
     docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
     emb = (
         ensure_min_parallelism(
@@ -251,6 +328,52 @@ def _fuse_legs(sparse: DataFrame, ann: DataFrame) -> DataFrame:
     )
 
 
+def _exact_rerank(
+    shortlist: DataFrame, emb: DataFrame, q: DataFrame, k: int
+) -> DataFrame:
+    """v18's refine stage as a reusable leg: exactly re-rank an ADC
+    shortlist — (query_id, neighbor_id) — by true cosine and return the
+    per-query top-k with the re-ranked rank.
+
+    Shuffle shape: the shortlist is probe-sized (queries × R rows) and
+    broadcasts; full vectors are fetched by EQUI-join on neighbor_id
+    (production: the vector-store fetch by id) — per-query cost is the
+    CONSTANT R, never the corpus, at any corpus size."""
+    rer = (
+        F.broadcast(shortlist)
+        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            sim.cosine(F.col("qemb"), F.col("emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _scratch_index_root() -> str:
+    """Index scratch root for the served entries (t29/t31).
+
+    ``WDP_HYBRID_INDEX_ROOT``, when set, must name a filesystem BOTH the
+    driver and every executor can reach (a shared POSIX mount — NFS,
+    Lustre, a fuse-mounted object store); a unique subdirectory is
+    created under it per run. Unset (the local-mode harness), a
+    driver-local tempdir is used — correct where driver and executors
+    share one machine. Either way the operators go through the Hadoop
+    FS-backed parquet reader/writer (the t25 note)."""
+    base = os.environ.get("WDP_HYBRID_INDEX_ROOT")
+    if base:
+        return tempfile.mkdtemp(prefix="wdp_hybrid_index_", dir=base)
+    return tempfile.mkdtemp(prefix="wdp_hybrid_index_")
+
+
 @register("t28_hybrid_rrf_ann", oracle=_T28_ORACLE)
 def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
@@ -285,17 +408,12 @@ def t28_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("t29_hybrid_rrf_served", oracle=_T28_ORACLE)
 def t29_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..functions.caching import loop_cache
     from ..operators.retrieval import probe_bm25_index, write_bm25_index
 
     inp = _hybrid_inputs(spark, sf_dir)
-    # driver-local scratch — correct where driver and executors share a
-    # filesystem (the local-mode harness); a cluster passes a shared
-    # path (HDFS/object store), the operators go through the Hadoop
-    # FS-backed parquet reader/writer either way (the t25 note)
-    root = tempfile.mkdtemp(prefix="wdp_hybrid_index_")
+    root = _scratch_index_root()
     try:
         write_bm25_index(inp["doc_terms"], f"{root}/bm25")
         sparse = probe_bm25_index(
@@ -309,6 +427,71 @@ def t29_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann = sim.probe_ivfpq_index(
             spark, f"{root}/ivfpq", inp["q"], k=_BM25_K, n_probe=_N_PROBE
         )
+        # pin before the index directories disappear (the pipe5 rule)
+        return loop_cache(_fuse_legs(sparse, ann), eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# T30 — the production OPERATING POINT (round-10 verdict #1): BM25 +
+# IVFPQ probe + exact re-rank + RRF. t28 pins the R=0 composition whose
+# measured fused recall@10 is 0.58; THIS entry pins the deployed one —
+# ADC shortlists R=400 candidates inside the probed lists, true cosine
+# re-ranks the shortlist (v18's refine), and the re-ranked order enters
+# the fusion. Measured fused recall@10 at this exact configuration:
+# 0.93 (RECALL_HYBRID.json, n_probe=4/R=400, 150k clustered universe).
+# Scale shape on top of t28: + one broadcast-shortlist equi-join
+# fetching R full vectors per query — constant per query, corpus-free.
+# ---------------------------------------------------------------------------
+@register("t30_hybrid_rrf_rerank", oracle=_T30_ORACLE)
+def t30_hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    inp = _hybrid_inputs(spark, sf_dir)
+    sparse = bm25_topk(inp["doc_terms"], inp["q_terms"], k=_BM25_K)
+    shortlist = sim.ivfpq_topk(
+        inp["emb_u"], inp["q"], k=_T30_R,
+        n_lists=_N_LISTS, n_probe=_N_PROBE,
+        n_sub=_PQ_SUB, k_codes=_PQ_K, sub_dim=_PQ_SUBDIM, n_iter=2,
+        train=inp["train"],
+    ).select("query_id", "neighbor_id")
+    ann = _exact_rerank(shortlist, inp["emb_u"], inp["q"], k=_BM25_K)
+    return _fuse_legs(sparse, ann)
+
+
+# ---------------------------------------------------------------------------
+# T31 — t30's persisted serving twin: the BM25 leg probes the
+# term-bucketed index, the shortlist comes from the list_id-partitioned
+# PQ codes (plan-time partition prune), and the re-rank fetches its R
+# full vectors per query by id — the vector-store fetch a deployment
+# performs. Oracle: t30's VERBATIM — one hash match proves persistence,
+# pruning, shortlist and re-rank all result-invisible composed through
+# the fusion.
+# ---------------------------------------------------------------------------
+@register("t31_hybrid_rerank_served", oracle=_T30_ORACLE)
+def t31_hybrid_rerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..functions.caching import loop_cache
+    from ..operators.retrieval import probe_bm25_index, write_bm25_index
+
+    inp = _hybrid_inputs(spark, sf_dir)
+    root = _scratch_index_root()
+    try:
+        write_bm25_index(inp["doc_terms"], f"{root}/bm25")
+        sparse = probe_bm25_index(
+            spark, f"{root}/bm25", inp["q_terms"], k=_BM25_K
+        )
+        sim.write_ivfpq_index(
+            inp["emb_u"], f"{root}/ivfpq",
+            n_lists=_N_LISTS, n_sub=_PQ_SUB, k_codes=_PQ_K,
+            sub_dim=_PQ_SUBDIM, n_iter=2, train=inp["train"],
+        )
+        shortlist = sim.probe_ivfpq_index(
+            spark, f"{root}/ivfpq", inp["q"], k=_T30_R, n_probe=_N_PROBE
+        ).select("query_id", "neighbor_id")
+        ann = _exact_rerank(shortlist, inp["emb_u"], inp["q"], k=_BM25_K)
         # pin before the index directories disappear (the pipe5 rule)
         return loop_cache(_fuse_legs(sparse, ann), eager=True)
     finally:
