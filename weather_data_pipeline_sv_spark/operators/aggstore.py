@@ -44,7 +44,12 @@ test_store_lifecycle_invariants.py):
   tests/test_store_lifecycle_invariants.py.
 - CRASH RECOVERY: every entry point first finishes an interrupted
   ``replace_dir`` swap (``batches/`` absent + ``batches.replaced``
-  present -> restore the backup) instead of serving an empty store.
+  present -> restore the backup) instead of serving an empty store;
+  the restore WAITS OUT a held swap lock first (round-10: the same
+  on-disk state is what a live swap looks like mid-window, and an
+  eager restore would resurrect the pre-fold layout under the
+  compactor — double-counting every folded batch once the install
+  retry re-copied it next to the fold).
   ``compact()`` clears its own stale staging directory and stale lock
   at entry, so a compact that crashed after staging (fold dir + marker
   written, swap never ran) can never leak a second watermark into a
@@ -147,16 +152,39 @@ class PartialAggStore:
         inside that window must restore the backup BEFORE any read or
         write — otherwise probes serve empty results and a subsequent
         append recreates ``batches/``, after which the next swap deletes
-        the backup as stale and the pre-crash data is gone."""
+        the backup as stale and the pre-crash data is gone.
+
+        The same on-disk state is also what a LIVE swap looks like from
+        the outside, so restoring is gated on the swap lock: while the
+        lock is held this waits (bounded by ``_LOCK_WAIT_S``, mirroring
+        :meth:`_await_swap_lock`) instead of renaming the backup out
+        from under the compactor — an eager restore here would resurrect
+        the pre-fold layout mid-swap, hand the compactor's install-retry
+        loop already-folded batch directories to re-copy next to the
+        fold (double-counting every pre-snapshot row), and strand the
+        reconcile against a backup that no longer exists. Only a stale
+        lock from a crashed compactor falls through the wait, and then
+        restoring IS the right recovery."""
         fs = self._fs()
         jb = self._jpath(self._batches_dir)
         jbak = self._jpath(self._batches_dir + ".replaced")
-        if not fs.exists(jb) and fs.exists(jbak):
-            if not fs.rename(jbak, jb):
-                raise IOError(
-                    f"restore of interrupted swap {self._batches_dir}"
-                    f".replaced failed"
-                )
+        if fs.exists(jb) or not fs.exists(jbak):
+            return
+        if fs.exists(self._lock_jpath()):
+            deadline = time.monotonic() + self._LOCK_WAIT_S
+            while fs.exists(self._lock_jpath()):
+                if time.monotonic() >= deadline:
+                    break
+                time.sleep(0.05)
+            if fs.exists(jb) or not fs.exists(jbak):
+                return  # the swap completed while we waited
+        if not fs.rename(jbak, jb) and not fs.exists(jb):
+            # a concurrent recoverer may win the rename — losing that
+            # race is fine as long as batches/ is live again
+            raise IOError(
+                f"restore of interrupted swap {self._batches_dir}"
+                f".replaced failed"
+            )
 
     # -- ledger ------------------------------------------------------------
     def applied_batch_ids(self) -> list[int]:
@@ -393,26 +421,51 @@ class PartialAggStore:
         jb = self._jpath(self._batches_dir)
         jbak = self._jpath(self._batches_dir + ".replaced")
         jstaging = self._jpath(staging)
+        # if the install rename races a recreated batches/, Hadoop's
+        # local/HDFS rename does NOT fail — it NESTS staging INSIDE the
+        # existing destination (dst/srcName); detect via the basename
+        stage_name = staging.rstrip("/").rsplit("/", 1)[-1]
+        jnested = self._jpath(f"{self._batches_dir}/{stage_name}")
         fs.delete(jbak, True)  # stale backup — batches/ is live
         if not fs.rename(jb, jbak):
             raise IOError(f"backup rename {self._batches_dir} failed")
         for _ in range(8):
-            if fs.rename(jstaging, jb):
+            if (
+                not fs.exists(jb)
+                and fs.rename(jstaging, jb)
+                and not fs.exists(jnested)
+            ):
                 break
-            # an append recreated batches/ inside the window: fold its
-            # directories into staging (copy-then-delete; the copy lands
-            # in the state about to become live) and retry
+            # batches/ was recreated inside the window — an append's
+            # stale-timeout publish, or a lease-expired _recover
+            # restoring the old layout. If our rename nested into it,
+            # unwind the nesting back to the staging path first.
+            if fs.exists(jnested) and not fs.rename(jnested, jstaging):
+                raise IOError(
+                    f"could not unwind nested install {jnested}"
+                )
             if not fs.exists(jb):
                 raise IOError(
                     f"rename {staging} -> {self._batches_dir} failed"
                 )
+            # fold the recreated directories into staging (copy-then-
+            # delete; the copy lands in the state about to become live)
+            # and retry
             for st in fs.listStatus(jb):
                 name = st.getPath().getName()
-                if not name.startswith(("_", ".")):
-                    self._copy_dir(
-                        f"{self._batches_dir}/{name}", f"{staging}/{name}"
-                    )
-                    carried.add(int(name))
+                if name.startswith(("_", ".")):
+                    continue
+                # a batch already carried (or folded — carried starts as
+                # the fold snapshot) must NOT be re-copied: a _recover
+                # that restored the old layout inside the window would
+                # otherwise hand every pre-snapshot directory back to
+                # be double-counted next to the staged fold
+                if int(name) in carried:
+                    continue
+                self._copy_dir(
+                    f"{self._batches_dir}/{name}", f"{staging}/{name}"
+                )
+                carried.add(int(name))
             fs.delete(jb, True)
         else:
             raise IOError(
@@ -420,7 +473,12 @@ class PartialAggStore:
                 f"{self._batches_dir}"
             )
         # reconcile: batches published into the OLD layout after the
-        # carry listing ride back in before the backup is dropped
+        # carry listing ride back in before the backup is dropped. The
+        # backup can legitimately be gone — a lock-wait-exhausted
+        # _recover restored it mid-swap, in which case its contents
+        # were folded back through the install-retry loop above.
+        if not fs.exists(jbak):
+            return
         for st in fs.listStatus(jbak):
             name = st.getPath().getName()
             if name.startswith(("_", ".")):
