@@ -144,3 +144,86 @@ def test_cpu_breach_with_wall_past_relative_floor_is_fatal(tmp_path):
     r = _run(old, new)
     assert r.returncode == 1
     assert "REGRESSION" in r.stdout
+
+
+def _art_cal(path, queries, cpu, cal):
+    art = {"metric": "m", "value": sum(queries.values()), "unit": "sec",
+           "queries": queries, "sf": 0.1, "cpu_queries": cpu,
+           "host_calibration_s": cal}
+    with open(path, "w") as f:
+        json.dump(art, f)
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 #4: host_calibration_s scales the threshold — cross-host
+# drift that tracks the fixed microkernels is attribution, not
+# regression (the round-9 driver artifact's v5/m3/m4 story).
+# ---------------------------------------------------------------------------
+def test_inflated_calibration_suppresses_fake_flag(tmp_path):
+    # cpu 1.8x, wall fully corroborated (+15 s) — a hard FAIL on equal
+    # hosts, but the new host measured its numpy kernel 2x slower, so
+    # the effective threshold is 3.0x and the drift is attributed.
+    old = _art_cal(tmp_path / "o.json", {"q": 10.0}, {"q": 20.0},
+                   {"python_loop_s": 0.1, "numpy_matmul_s": 5.0})
+    new = _art_cal(tmp_path / "n.json", {"q": 25.0}, {"q": 36.0},
+                   {"python_loop_s": 0.1, "numpy_matmul_s": 10.0})
+    r = _run(old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "scaled to 3.00x" in r.stdout
+    # --no-calibration restores the raw gate: same artifacts now FAIL
+    raw = _run(old, new, "--no-calibration")
+    assert raw.returncode == 1
+    assert "REGRESSION" in raw.stdout
+
+
+def test_missing_calibration_keeps_previous_behavior(tmp_path):
+    old = _art(tmp_path / "o.json", {"q": 10.0}, {"q": 20.0})
+    new = _art(tmp_path / "n.json", {"q": 25.0}, {"q": 36.0})
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "scaled to" not in r.stdout
+
+
+def test_faster_host_does_not_loosen_or_tighten(tmp_path):
+    # new host FASTER on the kernels: factor floors at 1.0 — a real
+    # regression is still flagged at the raw threshold
+    old = _art_cal(tmp_path / "o.json", {"q": 10.0}, {"q": 20.0},
+                   {"python_loop_s": 0.2, "numpy_matmul_s": 10.0})
+    new = _art_cal(tmp_path / "n.json", {"q": 25.0}, {"q": 36.0},
+                   {"python_loop_s": 0.1, "numpy_matmul_s": 5.0})
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "REGRESSION" in r.stdout
+
+
+def test_calibration_factor_capped_at_3x(tmp_path):
+    # a garbage calibration sample (10x) must not disable the gate: the
+    # factor caps at 3.0, so a 5x corroborated cpu regression still fails
+    old = _art_cal(tmp_path / "o.json", {"q": 10.0}, {"q": 20.0},
+                   {"python_loop_s": 0.1, "numpy_matmul_s": 5.0})
+    new = _art_cal(tmp_path / "n.json", {"q": 60.0}, {"q": 100.0},
+                   {"python_loop_s": 0.1, "numpy_matmul_s": 50.0})
+    r = _run(old, new)
+    assert r.returncode == 1
+    assert "scaled to 4.50x" in r.stdout  # 1.5 * capped 3.0
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ADVICE: the relative wall floor (<=15%) needs an absolute
+# ceiling — +14 s on a 100 s entry is a regression, not noise.
+# ---------------------------------------------------------------------------
+def test_relative_wall_floor_has_absolute_ceiling(tmp_path):
+    # cpu 2x breach; wall 100 -> 114 s = 1.14x (inside the relative
+    # floor) but +14 s (past the 8 s ceiling) -> FAIL
+    old = _art(tmp_path / "o.json", {"q": 100.0}, {"q": 100.0})
+    new = _art(tmp_path / "n.json", {"q": 114.0}, {"q": 200.0})
+    r = _run(old, new)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "REGRESSION" in r.stdout
+    # under both the relative floor AND the ceiling stays exempt
+    old2 = _art(tmp_path / "o2.json", {"q": 40.0}, {"q": 40.0})
+    new2 = _art(tmp_path / "n2.json", {"q": 44.0}, {"q": 80.0})
+    ok = _run(old2, new2)
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    assert "attribution class" in ok.stdout

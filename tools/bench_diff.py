@@ -18,7 +18,12 @@ Compares the shared query set of two `bench.py` artifacts (e.g.
   ``--threshold`` (default 1.5x) AND slowed by more than an absolute
   noise floor (default 0.5 s — sub-second entries flap ±30% on this
   shared box and a 0.3→0.5 s wobble is not a regression worth failing a
-  round over).
+  round over);
+- **normalizes for host speed** (round-10): when both artifacts carry
+  ``host_calibration_s`` (bench.py's fixed microkernels), the threshold
+  is scaled by the worst slower-host component ratio (floor 1.0, cap
+  3.0) — cross-host drift that tracks the calibration is attribution,
+  not regression. ``--no-calibration`` restores raw thresholds.
 
 Run each round as part of the close-out artifacts; this gate would have
 flagged the round-2 v8 anomaly (4.5→13.5 s) automatically.
@@ -32,8 +37,10 @@ import math
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, float] | None]:
-    """Returns (wall, cpu-or-None) per-query dicts."""
+def load(
+    path: str,
+) -> tuple[dict[str, float], dict[str, float] | None, dict | None]:
+    """Returns (wall, cpu-or-None, host_calibration-or-None)."""
     with open(path) as f:
         art = json.load(f)
     # the driver's BENCH_r{N}.json wraps bench.py's LAST stdout line under
@@ -59,7 +66,43 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float] | None]:
             for k, v in cq.items()
             if isinstance(v, (int, float)) and not math.isnan(float(v))
         }
-    return wall, cpu
+    cal = art.get("host_calibration_s")
+    return wall, cpu, cal if isinstance(cal, dict) else None
+
+
+def calibration_factor(
+    old_cal: dict | None, new_cal: dict | None
+) -> tuple[float, str]:
+    """Host-speed normalization for the regression threshold (round-9
+    verdict #1 / round-10 item #4): ``bench.py`` stamps each artifact
+    with the wall time of two fixed microkernels (a pure-Python loop and
+    a numpy matmul). When the NEW host ran those slower, every entry's
+    cpu/wall inflates by roughly that ratio with zero code change —
+    measured in round 9: the driver host's numpy calibration was 2.08x
+    the clean run's, and exactly the numpy-bound entries drifted
+    1.2–1.3x. Scaling the threshold by the worst component ratio settles
+    that drift mechanically instead of re-litigating it in prose.
+
+    Only SLOWER-host ratios loosen the gate (floor 1.0 — a faster host
+    must not hide a real regression), capped at 3.0 so a garbage
+    calibration sample cannot disable the gate. Missing calibration on
+    either side (pre-round-9 artifacts) → 1.0, the previous behavior."""
+    if not (isinstance(old_cal, dict) and isinstance(new_cal, dict)):
+        return 1.0, "absent"
+    ratios = {}
+    for k in ("python_loop_s", "numpy_matmul_s"):
+        o, n = old_cal.get(k), new_cal.get(k)
+        if (
+            isinstance(o, (int, float)) and isinstance(n, (int, float))
+            and o > 0 and n > 0
+        ):
+            ratios[k] = n / o
+    if not ratios:
+        return 1.0, "absent"
+    worst_k = max(ratios, key=lambda k: ratios[k])
+    f = min(max(1.0, ratios[worst_k]), 3.0)
+    detail = ", ".join(f"{k}={v:.2f}x" for k, v in sorted(ratios.items()))
+    return f, detail
 
 
 def main() -> int:
@@ -75,10 +118,29 @@ def main() -> int:
                     default="auto",
                     help="auto (default): cpu when both artifacts have "
                          "cpu_queries, else wall")
+    ap.add_argument("--max-wall-noise", type=float, default=8.0,
+                    help="absolute wall-delta ceiling (sec) on the "
+                         "relative wall floor: a cpu breach whose wall "
+                         "grew <=15%% is attribution-class noise ONLY "
+                         "while the absolute growth is also under this "
+                         "(default 8 s) — on a 100 s entry a corroborated "
+                         "+14 s is a regression, not noise")
+    ap.add_argument("--no-calibration", action="store_true",
+                    help="ignore host_calibration_s even when both "
+                         "artifacts carry it")
     args = ap.parse_args()
 
-    old, old_cpu = load(args.old)
-    new, new_cpu = load(args.new)
+    old, old_cpu, old_cal = load(args.old)
+    new, new_cpu, new_cal = load(args.new)
+    if args.no_calibration:
+        cal_f, cal_detail = 1.0, "disabled"
+    else:
+        cal_f, cal_detail = calibration_factor(old_cal, new_cal)
+    eff_threshold = args.threshold * cal_f
+    if cal_f > 1.0:
+        print(f"host calibration: {cal_detail} — threshold "
+              f"{args.threshold:.2f}x scaled to {eff_threshold:.2f}x "
+              f"(new host measured slower on fixed microkernels)")
     have_cpu = old_cpu is not None and new_cpu is not None
     gate_cpu = (args.gate_on == "cpu") or (
         args.gate_on == "auto" and have_cpu
@@ -153,20 +215,26 @@ def main() -> int:
         # ±30% session to session. A cpu breach is only trustworthy as a
         # regression signal when the WALL corroborates it (moved by both
         # the absolute floor AND >15%).
+        # ... round-10 (ADVICE): the relative floor gets an ABSOLUTE
+        # ceiling — on a long entry a corroborated cpu breach with, say,
+        # +14 s of wall growth at 1.14x is exactly where regressions are
+        # most expensive, so <=15% only exempts while the absolute wall
+        # delta also stays under --max-wall-noise.
         cpu_only_noise = (
             gate_cpu and g is not None
             and ((wn - wo) <= args.min_delta
-                 or (wo > 0 and wn / wo <= 1.15))
+                 or (wo > 0 and wn / wo <= 1.15
+                     and (wn - wo) <= args.max_wall_noise))
         )
         if (
-            ratio > args.threshold and (gn - go) > args.min_delta
+            ratio > eff_threshold and (gn - go) > args.min_delta
             and not cpu_only_noise
         ):
             flag = "  << REGRESSION"
             failures.append((name, go, gn, ratio))
-        elif ratio > args.threshold and cpu_only_noise:
+        elif ratio > eff_threshold and cpu_only_noise:
             flag = "  (cpu-only breach, wall within noise floor — attribution class)"
-        elif ratio > args.threshold:
+        elif ratio > eff_threshold:
             flag = "  (ratio breach under noise floor)"
         if g is None and gate_cpu:
             # no CPU sample for this entry: fall back to gating its wall
@@ -199,7 +267,7 @@ def main() -> int:
 
     if failures:
         print(f"\nFAIL: {len(failures)} quer{'y' if len(failures)==1 else 'ies'} "
-              f"regressed >{args.threshold}x on {gate_name} "
+              f"regressed >{eff_threshold:.2f}x on {gate_name} "
               f"(and >{args.min_delta}s):")
         for name, o, nw, r in failures:
             print(f"  {name}: {o:.3f} -> {nw:.3f} s ({r:.2f}x)")
