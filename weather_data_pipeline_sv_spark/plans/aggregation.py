@@ -62,6 +62,26 @@ BROADCAST_MAX_CENTROIDS = 100_000
 BROADCAST_MAX_PROBE_PAIRS = 250_000_000
 
 
+#: footer-probe bounds (round-10 verdict #5): read at most this many
+#: footers per decision, in a thread pool — a production fact can have
+#: 10^5-10^6 files and a sequential one-by-one driver read would make
+#: the DECISION the bottleneck the probe was built to kill
+FOOTER_PROBE_MAX_FILES = 2048
+FOOTER_PROBE_WORKERS = 32
+
+
+def _session_tz(spark):
+    """The session timezone as a tzinfo (instant-typed stats must be
+    rendered into THIS zone before a naive comparison), or None when it
+    cannot be resolved — callers fall back to the exact count."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
 def _windowed_points_upper_bound(
     stg: DataFrame, filter_col: str, cutoff: dt.datetime
 ) -> int | None:
@@ -75,10 +95,27 @@ def _windowed_points_upper_bound(
     writers sort fact partitions by time; the test dirs are generated
     that way) give a near-exact bound; a randomly laid-out table
     degrades to the full count — still a valid upper bound, which only
-    ever errs toward the grid path (the safe choice at scale). Returns
-    None — caller falls back to the exact count — when the plan's
-    leaves are not local parquet files, the column is missing, or stats
-    are unreadable; the estimate is an OPTIMIZATION with a correctness-
+    ever errs toward the grid path (the safe choice at scale).
+
+    Driver cost is bounded two ways (round-10 verdict #5): footers are
+    read in a thread pool (local footer reads are I/O waits, the GIL
+    releases), and past ``FOOTER_PROBE_MAX_FILES`` files an evenly-
+    strided sample is read and the included-row rate extrapolated by
+    file count. Beyond the cap the result is therefore a decision-grade
+    ESTIMATE rather than a strict bound — acceptable because at 10^5+
+    files the windowed fact dwarfs the probe-pairs budget unless the
+    window excludes nearly everything, and a chronological layout puts
+    the boundary within one stride of the truth. At or under the cap
+    the strict only-errs-toward-grid guarantee holds exactly as before.
+
+    Instant-typed (tz-aware) statistics are rendered into the SESSION
+    timezone before the naive comparison — a naive UTC strip under a
+    host TZ ahead of UTC under-included row groups near the cutoff,
+    silently erring toward broadcast, the unsafe side. Returns None —
+    caller falls back to the exact count — when the plan's leaves are
+    not local parquet files, the column is missing, stats are
+    unreadable, or the session zone cannot be resolved for an instant
+    column; the estimate is an OPTIMIZATION with a correctness-
     preserving fallback, never a requirement."""
     try:
         files = stg.inputFiles()
@@ -90,7 +127,7 @@ def _windowed_points_upper_bound(
         import pyarrow.parquet as pq
     except Exception:  # pragma: no cover - pyarrow is baked in
         return None
-    total = 0
+    paths = []
     for uri in files:
         path = uri
         if path.startswith("file:"):
@@ -101,27 +138,62 @@ def _windowed_points_upper_bound(
             # remote filesystem: the driver-side footer read would need
             # an FS client; stay on the exact-count path
             return None
-        try:
-            pf = pq.ParquetFile(path)
-            names = list(pf.schema_arrow.names)
-            if filter_col not in names:
-                return None
-            ci = names.index(filter_col)
-            md = pf.metadata
-            for r in range(md.num_row_groups):
-                rg = md.row_group(r)
-                st = rg.column(ci).statistics
-                if st is None or not st.has_min_max:
-                    total += rg.num_rows  # no stats: include (bound holds)
-                else:
-                    mx = st.max
-                    if getattr(mx, "tzinfo", None) is not None:
-                        mx = mx.replace(tzinfo=None)
-                    if mx >= cutoff:
-                        total += rg.num_rows
-        except Exception:
-            return None
-    return total
+        paths.append(path)
+    n_files = len(paths)
+    sampled = paths
+    if n_files > FOOTER_PROBE_MAX_FILES:
+        # evenly-strided over the name-sorted list (chronological
+        # writers ⇒ name order ≈ time order, so the window boundary
+        # lands within one stride of a sampled file)
+        paths_sorted = sorted(paths)
+        stride = n_files / FOOTER_PROBE_MAX_FILES
+        sampled = [
+            paths_sorted[int(i * stride)]
+            for i in range(FOOTER_PROBE_MAX_FILES)
+        ]
+    session_tz = _session_tz(stg.sparkSession)
+
+    def probe_one(path: str) -> int:
+        """Included-row count for one file; raises to abort the probe."""
+        md = pq.read_metadata(path)
+        names = list(md.schema.names)
+        if filter_col not in names:
+            raise KeyError(filter_col)
+        ci = names.index(filter_col)
+        inc = 0
+        for r in range(md.num_row_groups):
+            rg = md.row_group(r)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                inc += rg.num_rows  # no stats: include (bound holds)
+                continue
+            mx = st.max
+            if getattr(mx, "tzinfo", None) is not None:
+                if session_tz is None:
+                    raise ValueError("instant stats, no session tz")
+                mx = mx.astimezone(session_tz).replace(tzinfo=None)
+            if mx >= cutoff:
+                inc += rg.num_rows
+        return inc
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        workers = min(FOOTER_PROBE_WORKERS, len(sampled))
+        # one task per WORKER, not per file: a local footer read is
+        # ~0.04 ms, so per-file task scheduling would cost 10x the work
+        # itself; chunking keeps the pool useful where it matters (slow
+        # media, many files) without taxing the fast path
+        chunks = [sampled[i::workers] for i in range(workers)]
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            included = sum(
+                ex.map(lambda ch: sum(probe_one(p) for p in ch), chunks)
+            )
+    except Exception:
+        return None
+    if len(sampled) < n_files:
+        included = int(included * (n_files / len(sampled))) + 1
+    return included
 
 
 def _idw_mean(col: str) -> Column:
