@@ -173,13 +173,20 @@ def write_bm25_index(
     call sites agreeing.
     """
     tf, df, stats = term_stats(doc_terms)
+    # co-locate each bucket before the partitioned write (the
+    # write_ivfpq_index rule): otherwise every write task spans every
+    # bucket directory and the file count is n_tasks × n_buckets — at
+    # the 256-bucket production layout that's the listing cost probes
+    # would pay forever for one build's saved exchange
     (
         tf.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition(F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{path}/postings")
     )
     (
         df.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition(F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{path}/_df")
     )
