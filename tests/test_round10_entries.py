@@ -82,7 +82,9 @@ def test_rerank_leg_differs_from_adc_leg_when_codes_misrank(spark, sf_dir):
     catalog contract holds, and that t30's fused output is valid RRF
     (scores within (0, 2/(rrf_k+1)])."""
     from weather_data_pipeline_sv_spark.catalog import all_queries
-    from weather_data_pipeline_sv_spark.catalog.text import _T27_RRF_K
+    from weather_data_pipeline_sv_spark.catalog.text_retrieval import (
+        _T27_RRF_K,
+    )
 
     q = all_queries()
     t28 = q["t28_hybrid_rrf_ann"](spark, sf_dir)

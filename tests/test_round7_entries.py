@@ -244,9 +244,11 @@ def test_smp10_no_shared_chunk_straddles_splits(spark, sf_dir):
     not just via components."""
     from weather_data_pipeline_sv_spark.catalog import all_queries
     from weather_data_pipeline_sv_spark.catalog.text import (
+        _docs_with_tokens,
+    )
+    from weather_data_pipeline_sv_spark.catalog.text_chunks import (
         _CHUNK_S,
         _CHUNK_W,
-        _docs_with_tokens,
     )
     from weather_data_pipeline_sv_spark.operators.chunking import (
         chunk_by_tokens,

@@ -56,13 +56,12 @@ from ..operators import similarity as sim
 from ..operators.retrieval import BM25_B, BM25_K1
 from ..sources import load_tables
 from . import register
-from .text import (
+from .text import _DUCK_TOKENS, _docs_with_tokens
+from .text_retrieval import (
     _BM25_K,
     _BM25_QMOD,
     _BM25_QTERMS,
-    _DUCK_TOKENS,
     _T27_RRF_K,
-    _docs_with_tokens,
 )
 from .vector import (
     _D2,
