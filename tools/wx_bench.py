@@ -19,7 +19,10 @@ weather dirs from tools/make_weather_dir.py:
                              for postal code 10115 (weather_history over
                              the freshly computed gold — end to end from
                              bronze, bounded 24-row collect)
-- ``wx_latest_view``         v_latest_observations (the reference view)
+- ``wx_latest_view_auto``    v_latest_observations (the reference view)
+  — the _auto suffix records the gold strategy in the KEY (round-10
+  ADVICE: the entry switched broadcast->auto in round 9, and a shared
+  key would let bench diffs compare different strategies as one name)
 
 Protocol: min over SPARK_GRAFT_BENCH_RUNS runs (default 3) per entry,
 matched process-tree CPU from the winning run (bench.py's estimator,
@@ -105,7 +108,7 @@ def entries(spark, t: dict) -> dict:
         # 10×→30× growth was the broadcast BNL's past-crossover
         # superlinearity — the selector, now metadata-priced, is the
         # scaler fix (grid at wx30: 45.7 vs 54.1 s measured)
-        "wx_latest_view": lambda: v_latest_observations(gold("auto"))
+        "wx_latest_view_auto": lambda: v_latest_observations(gold("auto"))
         .write.format("noop").mode("overwrite").save(),
     }
 
