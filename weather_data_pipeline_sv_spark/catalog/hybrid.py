@@ -338,13 +338,24 @@ def _exact_rerank(
     broadcasts; full vectors are fetched by EQUI-join on neighbor_id
     (production: the vector-store fetch by id) — per-query cost is the
     CONSTANT R, never the corpus, at any corpus size."""
+    # per-row norms hoisted below the joins (see sim.norm): one
+    # interpreted fold per shortlist pair instead of three, bit-identical
     rer = (
         F.broadcast(shortlist)
-        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
-        .join(F.broadcast(q), "query_id")
+        .join(
+            emb.withColumn("__nrm", sim.norm(F.col("emb"))),
+            F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .join(
+            F.broadcast(q.withColumn("__qnrm", sim.norm(F.col("qemb")))),
+            "query_id",
+        )
         .select(
             "query_id", "neighbor_id",
-            sim.cosine(F.col("qemb"), F.col("emb")).alias("cos"),
+            (
+                sim.dot(F.col("qemb"), F.col("emb"))
+                / (F.col("__qnrm") * F.col("__nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -40,7 +40,14 @@ def _as_double(c):
 
 
 def cosine(a, b):
-    """Cosine similarity between two array<double> columns."""
+    """Cosine similarity between two array<double> columns.
+
+    Pair joins do NOT call this directly: they hoist the two
+    ``sqrt(_dot(v, v))`` factors into per-row columns below the join
+    (``sim.norm``) and compute ``_dot(a, b) / (nrm_a * nrm_b)`` — one
+    interpreted fold per pair instead of three, bit-identical (same
+    float ops in the same IEEE order; the t27 dense leg measured
+    79 s -> 28 s at the 10x dir from the same rewrite)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
@@ -73,13 +80,18 @@ def cosine(a, b):
     """,
 )
 def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_min_parallelism(
-        load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    ).select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    emb = (
+        ensure_min_parallelism(
+            load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        )
+        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+        # per-row norm hoisted below the pair join (see cosine())
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = (
         F.broadcast(q)
@@ -87,7 +99,8 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qemb"), F.col("emb")).alias("cos"),
+            (_dot(F.col("qemb"), F.col("emb"))
+             / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -488,19 +501,28 @@ def _blocked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _blocked_corpus(spark, sf_dir)
+    # per-row norms hoisted below the block self-join (see cosine())
+    emb = _blocked_corpus(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
     other = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
         F.col("bkt").alias("n_bkt"),
         F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
     )
     pairs = emb.join(
         other,
         (F.col("label") == F.col("n_label"))
         & (F.col("bkt") == F.col("n_bkt"))
         & (F.col("vec_id") != F.col("neighbor_id")),
-    ).select("vec_id", "neighbor_id", cosine(F.col("emb"), F.col("n_emb")).alias("cos"))
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        (_dot(F.col("emb"), F.col("n_emb"))
+         / (F.col("nrm") * F.col("n_nrm"))).alias("cos"),
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
     )
@@ -688,13 +710,23 @@ def v9_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _corpus_and_queries(spark, sf_dir)
 
     def topk(qv, cv):
+        # slice + per-row norm hoisted below the pair join (see
+        # cosine()): the truncated variant also slices once per ROW
+        # instead of once per pair
+        qn = q.select("query_id", qv.alias("__qv")).withColumn(
+            "__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+        )
+        cn = emb.select("vec_id", cv.alias("__cv")).withColumn(
+            "__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+        )
         pairs = (
-            F.broadcast(q)
-            .join(emb, F.col("vec_id") != F.col("query_id"))
+            F.broadcast(qn)
+            .join(cn, F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                cosine(qv, cv).alias("cos"),
+                (_dot(F.col("__qv"), F.col("__cv"))
+                 / (F.col("__qn") * F.col("__cn"))).alias("cos"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -770,18 +802,30 @@ def _greedy_drop(assigned: DataFrame, block_col: str, keep_cols: list[str]) -> D
     vector with a lower-id block-mate at cosine ≥ τ. One definition so a
     τ or tie-break change cannot silently diverge the two variants.
     ``assigned`` must carry (vec_id, emb, block_col [, keep_cols…]);
-    returns (vec_id, *keep_cols, kept)."""
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), block_col
+    returns (vec_id, *keep_cols, kept). Per-row norms are hoisted below
+    the block self-join — one interpreted fold per candidate pair
+    instead of three, bit-identical (see cosine())."""
+    withn = assigned.withColumn(
+        "__nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), block_col
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), block_col,
+        F.col("__nrm").alias("__na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), block_col,
+        F.col("__nrm").alias("__nb"),
     )
     dropped = (
         a.join(b, block_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(_SEM_TAU)
+            rnd(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= F.lit(_SEM_TAU)
         )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -2093,14 +2137,26 @@ def v18_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         train=train,
     ).select("query_id", "neighbor_id")
     # exact re-rank: per-query cost is the CONSTANT R, never the corpus —
-    # shortlist and queries broadcast, the corpus is probed by equi-join
+    # shortlist and queries broadcast, the corpus is probed by equi-join.
+    # Per-row norms hoisted below the joins (see cosine()).
     rer = (
         F.broadcast(shortlist)
-        .join(emb, F.col("vec_id") == F.col("neighbor_id"))
-        .join(F.broadcast(q), "query_id")
+        .join(
+            emb.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))),
+            F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .join(
+            F.broadcast(
+                q.withColumn(
+                    "qnrm", F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                )
+            ),
+            "query_id",
+        )
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("qemb"), F.col("emb")).alias("cos"),
+            (_dot(F.col("qemb"), F.col("emb"))
+             / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from ..functions.caching import stage_cache
 from ..functions.rounding import rnd
-from .similarity import SEM_TAU, cosine, ivf_assign, ivf_centroids
+from .similarity import SEM_TAU, dot, ivf_assign, ivf_centroids, norm
 
 #: SemDeDup cosine threshold — ``similarity.SEM_TAU``, the same constant
 #: catalog v10/v12 interpolate into their oracles (re-exported under the
@@ -84,11 +84,16 @@ def process_vector_batch(
     assigned = stage_cache(
         ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
     )
+    # per-row norms hoisted below the pair join (see similarity.norm):
+    # one interpreted fold per candidate pair instead of three,
+    # bit-identical to the cosine(emb_a, emb_b) form
     newer = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"), "list_id"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"), "list_id",
+        norm(F.col(vec_col)).alias("__nb"),
     )
     older = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"), "list_id"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"), "list_id",
+        norm(F.col(vec_col)).alias("__na"),
     )
     if store_vectors is not None:
         older = older.unionByName(
@@ -96,6 +101,7 @@ def process_vector_batch(
                 F.col(id_col).alias("id_a"),
                 F.col(vec_col).alias("emb_a"),
                 "list_id",
+                norm(F.col(vec_col)).alias("__na"),
             )
         )
     # batch side broadcast (default): a DAILY slice is bounded by
@@ -112,7 +118,12 @@ def process_vector_batch(
         older.join(newer_side, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            rnd(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= F.lit(tau)
+            rnd(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= F.lit(tau)
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -338,7 +338,7 @@ def frame_anchored_near_dup(
     ``shuffle_hash`` hint (never a driver broadcast)."""
     from ..functions.caching import stage_cache
     from ..functions.rounding import rnd
-    from .similarity import cosine
+    from .similarity import dot, norm
 
     hist = byte_histogram(media, n_buckets=n_buckets)
     dense = stage_cache(
@@ -383,9 +383,18 @@ def frame_anchored_near_dup(
         )
         .distinct()
     )
-    x = dense.select(F.col("media_id").alias("id_a"), F.col("emb").alias("va"))
-    y = dense.select(F.col("media_id").alias("id_b"), F.col("emb").alias("vb"))
-    c = cosine(F.col("va"), F.col("vb"))
+    # per-row norms hoisted below the verify joins (see similarity.norm):
+    # one interpreted fold per candidate pair instead of three,
+    # bit-identical to the cosine(va, vb) form
+    x = dense.select(
+        F.col("media_id").alias("id_a"), F.col("emb").alias("va"),
+        norm(F.col("emb")).alias("__na"),
+    )
+    y = dense.select(
+        F.col("media_id").alias("id_b"), F.col("emb").alias("vb"),
+        norm(F.col("emb")).alias("__nb"),
+    )
+    c = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(x.hint("shuffle_hash"), "id_a")
         .join(y.hint("shuffle_hash"), "id_b")

@@ -69,6 +69,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(vec: Column) -> Column:
+    """sqrt(dot(v, v)) — the per-ROW factor of the pair cosine.
+
+    Every pair join in the family hoists this out of the per-pair
+    expression: ``cosine(a, b)`` evaluates THREE interpreted HOF folds
+    per pair (dot + both norms — higher-order functions are
+    CodegenFallback), while ``dot(a, b) / (norm_a * norm_b)`` with the
+    norms computed in a projection BELOW the join evaluates one fold per
+    pair and one per row. Same float ops in the same IEEE order —
+    sqrt(dot(v, v)) has identical bits wherever it is computed — so
+    results are bit-identical to the unhoisted form (the t27 dense leg
+    measured 79 s -> 28 s at the 10x dir from exactly this rewrite)."""
+    return F.sqrt(dot(vec, vec))
+
+
 def hyperplane_values(n_planes: int, dim: int) -> list[list[float]]:
     """The md5 hyperplane matrix as exact Python doubles (n_planes × dim).
 
@@ -204,14 +219,21 @@ def lsh_ann_topk(
         .distinct()
     )
     carry = carry_cols or {}
-    pairs = cand.join(queries, query_id_col).join(corpus, id_col)
+    # per-row norms hoisted below the candidate join: one fold per pair
+    # (the cross dot) instead of three, bit-identical (see norm())
+    qn = queries.withColumn("__qnrm", norm(F.col(query_vec_col)))
+    cn = corpus.withColumn("__cnrm", norm(F.col(vec_col)))
+    pairs = cand.join(qn, query_id_col).join(cn, id_col)
     if pair_filter is not None:
         pairs = pairs.filter(pair_filter)
     pairs = pairs.select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
         *[F.col(src).alias(dst) for dst, src in carry.items()],
-        cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+        (
+            dot(F.col(query_vec_col), F.col(vec_col))
+            / (F.col("__qnrm") * F.col("__cnrm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc(rnd(F.col("cos"), 6)), F.asc("neighbor_id")
@@ -233,12 +255,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k (broadcast queries × corpus) — the recall oracle."""
     pairs = (
-        F.broadcast(queries)
-        .join(corpus, F.col(id_col) != F.col(query_id_col))
+        F.broadcast(queries.withColumn("__qnrm", norm(F.col(query_vec_col))))
+        .join(
+            corpus.withColumn("__cnrm", norm(F.col(vec_col))),
+            F.col(id_col) != F.col(query_id_col),
+        )
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+            (
+                dot(F.col(query_vec_col), F.col(vec_col))
+                / (F.col("__qnrm") * F.col("__cnrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -504,17 +532,23 @@ def ivf_ann_topk(
         lambda s: s["list_id"],
     )
     probes = qbase.select(
-        query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id")
+        query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id"),
+        norm(F.col(query_vec_col)).alias("__qnrm"),
     )
     pairs = (
         # the query set is small by construction; broadcasting it makes the
-        # candidate step a map-side hash join against the corpus scan
-        F.broadcast(probes).join(assigned, "list_id")
+        # candidate step a map-side hash join against the corpus scan.
+        # Norms hoisted out of the per-pair expression (see norm()).
+        F.broadcast(probes)
+        .join(assigned.withColumn("__cnrm", norm(F.col(vec_col))), "list_id")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+            (
+                dot(F.col(query_vec_col), F.col(vec_col))
+                / (F.col("__qnrm") * F.col("__cnrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -556,9 +590,18 @@ def cosine_near_dup_pairs(
                 f"max_rows={max_rows}; use cosine_near_dup_pairs_lsh for "
                 f"the bucketed scale path, or pass max_rows=None to force."
             )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    c = cosine(F.col("va"), F.col("vb"))
+    # per-row norms hoisted below the pair join: the quadratic stage pays
+    # one interpreted fold per pair instead of three, bit-identical
+    # (see norm())
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    c = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", c)
@@ -694,9 +737,14 @@ def quantization_report(
         lambda acc, x: acc + x,
     ) / F.size(vec_col)
     # zero vectors have no direction: cosine is NULL, not a div-by-zero
-    # (ANSI mode raises on 0/0)
+    # (ANSI mode raises on 0/0). norm2 doubles as cosine's own
+    # sqrt(dot(v, v)) factor — one fewer fold per row, bit-identical.
     norm2 = dot(F.col(vec_col), F.col(vec_col))
-    cos = F.when(norm2 > 0, cosine(F.col(vec_col), F.col("deq")))
+    cos = F.when(
+        norm2 > 0,
+        dot(F.col(vec_col), F.col("deq"))
+        / (F.sqrt(norm2) * F.sqrt(dot(F.col("deq"), F.col("deq")))),
+    )
     return qd.select(
         id_col,
         rnd("q_scale", 6).alias("q_scale"),
@@ -834,7 +882,8 @@ def probe_ivf_index(
         lambda s: s["list_id"],
     )
     probes = qbase.select(
-        query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id")
+        query_id_col, query_vec_col, F.explode(probe_lists).alias("list_id"),
+        norm(F.col(query_vec_col)).alias("__qnrm"),
     )
     # collect the (tiny) probed list-id set so the index scan gets a
     # LITERAL partition filter — pruning at planning time, not a join
@@ -842,13 +891,18 @@ def probe_ivf_index(
         {int(r["list_id"]) for r in probes.select("list_id").distinct().collect()}
     )
     index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_ids))
+    # per-row norms hoisted out of the per-pair expression (see norm())
     pairs = (
-        F.broadcast(probes).join(index, "list_id")
+        F.broadcast(probes)
+        .join(index.withColumn("__cnrm", norm(F.col(vec_col))), "list_id")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+            (
+                dot(F.col(query_vec_col), F.col(vec_col))
+                / (F.col("__qnrm") * F.col("__cnrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -1044,22 +1098,51 @@ def pq_adc_topk(
     per-query top-k is a window over the bounded query partition count.
     The scan is still EXHAUSTIVE over the codes (flat PQ) —
     :func:`ivfpq_topk` is the composed form that prunes it."""
-    pairs = encoded.crossJoin(F.broadcast(queries)).filter(
-        F.col(query_id_col) != F.col(id_col)
-    )
+    pairs = encoded.crossJoin(
+        F.broadcast(_with_adc_luts(queries, books, sub_dim, query_vec_col))
+    ).filter(F.col(query_id_col) != F.col(id_col))
     return _adc_rank(pairs, books, sub_dim, k, id_col, query_id_col,
                      query_vec_col)
 
 
-def _adc_col(books, sub_dim: int, query_vec_col: str) -> Column:
-    """Asymmetric distance Σ_s ||q_s − codeword(code_s)||², each subspace
-    term rounded at 9 dp (engine-stable). Codebooks are plan literals;
-    codeword lookup is ``element_at`` on the dense 0..K-1 code ids."""
-    adc = F.lit(0.0)
+def _with_adc_luts(
+    queries: DataFrame, books, sub_dim: int, query_vec_col: str,
+) -> DataFrame:
+    """Attach per-query ADC LOOKUP TABLES (the ADC trick from the PQ
+    paper — the same device the oracle's ``dt{s}`` CTEs and the numpy
+    IVFADC probe already use): ``__dt{s}[j]`` is the 9-dp-rounded
+    squared-L2 from the query's subvector ``s`` to codeword ``j``.
+    Computed once per QUERY (M·K folds on the broadcast side) instead of
+    once per PAIR; the entries are the identical rnd(_sq_l2(...), 9)
+    values the old per-pair expression produced, so sums and ranks
+    downstream are bit-identical."""
+    def lut(sub, book):
+        # helper call freezes `sub` per subspace; the transform lambda
+        # must stay single-argument (a second arg would be read by
+        # PySpark as the array-index parameter)
+        return F.transform(
+            _cent_literal(book),
+            lambda c: rnd(_sq_l2(sub, c["centroid"]), 9),
+        )
+
+    q2 = queries
     for s, book in enumerate(books):
-        cw = F.element_at(_cent_literal(book), F.col(f"code_{s}").cast("int") + 1)
         sub = F.slice(F.col(query_vec_col), s * sub_dim + 1, sub_dim)
-        adc = adc + rnd(_sq_l2(sub, cw["centroid"]), 9)
+        q2 = q2.withColumn(f"__dt{s}", lut(sub, book))
+    return q2
+
+
+def _adc_lut_col(n_sub: int) -> Column:
+    """Asymmetric distance Σ_s __dt{s}[code_s + 1] over the hoisted
+    per-query lookup tables: M array lookups + adds per pair, summed in
+    the same subspace order as the old per-pair fold chain. Position =
+    code id relies on dense 0..K-1 codebook ids — the same assumption
+    the codebook-literal ``element_at`` made."""
+    adc = F.lit(0.0)
+    for s in range(n_sub):
+        adc = adc + F.element_at(
+            F.col(f"__dt{s}"), F.col(f"code_{s}").cast("int") + 1
+        )
     return adc
 
 
@@ -1069,11 +1152,12 @@ def _adc_rank(
 ) -> DataFrame:
     """Shared ADC scoring + per-query top-k tail of the flat (v14) and
     IVF-pruned (v16) PQ searches: rank ascending on the 6-dp-rounded ADC
-    sum, lower neighbor_id on ties."""
+    sum, lower neighbor_id on ties. ``pairs`` must carry the
+    :func:`_with_adc_luts` columns."""
     scored = pairs.select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
-        _adc_col(books, sub_dim, query_vec_col).alias("adc"),
+        _adc_lut_col(len(books)).alias("adc"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc(rnd(F.col("adc"), 6)), F.asc("neighbor_id")
