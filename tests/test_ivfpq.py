@@ -127,8 +127,13 @@ def test_pruning_semantics_vs_flat_pq(spark, emb, queries):
         ),
         lambda s: s["list_id"],
     )
-    probes = queries.select(
-        "query_id", "qemb", F.explode(probe_lists).alias("list_id")
+    # the round-10 LUT hoist made _adc_rank consume the per-query ADC
+    # lookup-table columns — attach them the same way the production
+    # chain does (on the query side, below the probe join)
+    probes = sim._with_adc_luts(queries, books, SUB_DIM, "qemb").select(
+        "query_id", "qemb",
+        *[f"__dt{s}" for s in range(N_SUB)],
+        F.explode(probe_lists).alias("list_id"),
     )
     manual_pairs = probes.join(enc, "list_id").filter(
         F.col("query_id") != F.col("vec_id")

@@ -118,19 +118,23 @@ def test_ivf_ann_topk_fast_path_matches_distributed(emb):
     rows_fast = sorted(
         (key(r), r["neighbor_id"], r["cosine"]) for r in fast.collect()
     )
-    # monkeypatch-free distributed forcing: shrink the bound via the
-    # module constant is global state — instead reuse the documented
-    # equivalence: books from the forced-distributed trainer fed through
-    # the same assign/probe pipeline give the same ranking
+    assert len(rows_fast) > 0
+    # the property the entry oracle depends on: the full top-k ranking
+    # (ids, ranks AND rounded cosines) from the fast-path trainer equals
+    # the forced-distributed run's, row for row
+    dist = sim.ivf_ann_topk(
+        emb, q, k=3, n_lists=N_LISTS, n_probe=3, driver_train_max_rows=0
+    )
+    rows_dist = sorted(
+        (key(r), r["neighbor_id"], r["cosine"]) for r in dist.collect()
+    )
+    assert rows_fast == rows_dist
+    # and the induced assignments agree (the stronger internal invariant)
     dist_books = sim._centroid_rows(
         sim.ivf_centroids(
             emb, n_lists=N_LISTS, n_iter=2, driver_train_max_rows=0
         )
     )
-    assigned = sim.ivf_assign(emb, dist_books)
-    assert assigned.count() == emb.count()
-    # induced assignments equal -> identical candidate sets -> the topk
-    # rows must match the fast path's
     fast_books = sim._centroid_rows(
         sim.ivf_centroids(emb, n_lists=N_LISTS, n_iter=2)
     )
@@ -139,7 +143,7 @@ def test_ivf_ann_topk_fast_path_matches_distributed(emb):
         for r in sim.ivf_assign(emb, fast_books).collect()
     )
     ad = sorted(
-        (r["vec_id"], r["list_id"]) for r in assigned.collect()
+        (r["vec_id"], r["list_id"])
+        for r in sim.ivf_assign(emb, dist_books).collect()
     )
     assert af == ad
-    assert len(rows_fast) > 0

@@ -104,11 +104,13 @@ phase(
     "v13: encode pass (noop sink)",
     lambda: enc.write.format("noop").mode("overwrite").save(),
 )
-emb.unpersist()
+# emb stays persisted through the comparator phases below so the np path
+# is timed against the same cache state the distributed phases had
+# (round-10 ADVICE: unpersisting here skewed the decomposition)
 
 # ---- driver-side comparator ------------------------------------------------
 t0 = time.monotonic()
-probed = emb.select("vec_id").limit(200_001).count()
+probed = emb.select("vec_id").limit(sim.IVFPQ_DRIVER_TRAIN_MAX_ROWS + 1).count()
 t_probe = time.monotonic() - t0
 t0 = time.monotonic()
 rows = [
@@ -144,6 +146,12 @@ k, m = _sem_params(cut1 + 1)
 train = emb.filter((F.col("vec_id") <= cut1) & (F.col("vec_id") % m == 0))
 phase(
     f"pipe5-init: ivf_centroids distributed (k={k})",
+    lambda: sim.ivf_centroids(
+        train, n_lists=k, n_iter=2, driver_train_max_rows=0
+    ).collect(),
+)
+phase(
+    f"pipe5-init: ivf_centroids fast path (k={k})",
     lambda: sim.ivf_centroids(train, n_lists=k, n_iter=2).collect(),
 )
 t0 = time.monotonic()
@@ -151,11 +159,17 @@ rows5 = [
     (r["vec_id"], r["emb"])
     for r in train.select("vec_id", "emb").orderBy("vec_id").collect()
 ]
+if not rows5:
+    sys.exit(
+        "pipe5-init: empty training sample — the strided filter matched "
+        f"no rows under {sf_dir}; pass a populated sf_dir."
+    )
 dim = len(rows5[0][1])
 books5 = sim.lloyd_np(rows5, [(0, dim, k)], 2)
 t_np5 = time.monotonic() - t0
 out["phases"].append({"phase": "pipe5-init: collect+lloyd_np", "wall_s": round(t_np5, 3)})
 print(f"{'pipe5-init: collect+lloyd_np':55s} {t_np5:7.3f} s")
+emb.unpersist()
 
 with open("/tmp/lloyd_profile.json", "w") as f:
     json.dump(out, f, indent=1)

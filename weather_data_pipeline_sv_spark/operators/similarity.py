@@ -57,6 +57,15 @@ IVF_LITERAL_MAX_LISTS = 64
 #: implementations apart from each other or from the oracles.
 SEM_TAU = 0.45
 
+#: The driver-side Lloyd fast path refuses to collect a training set above
+#: this many rows — driver-side training is for bounded SAMPLES (the
+#: production norm: v16's stride sampling); anything bigger either gets
+#: sampled first or runs the distributed loop. Shared by every trainer
+#: (``ivf_centroids`` / ``pq_train`` / ``ivfpq_train`` / ``ivf_ann_topk``
+#: / ``write_ivf_index`` via ``driver_train_max_rows`` and
+#: ``ivfpq_train_np`` via ``max_rows``); 0 disables the fast path.
+IVFPQ_DRIVER_TRAIN_MAX_ROWS = 200_000
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold dot product of two array<double> columns."""
@@ -359,6 +368,33 @@ def _with_cents(
     return df.crossJoin(F.broadcast(cents)), F.col("__cents"), ["__cents"]
 
 
+def _bounded_train_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, max_rows: int,
+) -> list[tuple] | None:
+    """Collect the training frame for the driver-side Lloyd fast path
+    (``lloyd_np``) iff it fits ``max_rows``; ``None`` routes the caller to
+    the distributed loop (over-bound, EMPTY — lloyd_np cannot seed from
+    zero rows and the distributed path is loud about it — or fast path
+    disabled via ``max_rows <= 0``). Guarded by a bounded limit-probe (the
+    :func:`ivfpq_train_np` pattern) so an unsampled 100 TB corpus can
+    never be collected by accident: the probe scans at most
+    ``max_rows + 1`` ids, whatever the corpus size."""
+    if max_rows <= 0:
+        return None
+    probed = corpus.select(id_col).limit(max_rows + 1).count()
+    if probed == 0 or probed > max_rows:
+        return None
+    # collect UNORDERED and sort driver-side: same multiset, same final id
+    # order (ids are unique), without paying a global range-sort exchange
+    # just to establish it
+    rows = [
+        (r[id_col], r[vec_col])
+        for r in corpus.select(id_col, vec_col).collect()
+    ]
+    rows.sort(key=lambda t: t[0])
+    return rows
+
+
 def _ivf_train(
     corpus: DataFrame, n_lists: int, n_iter: int,
     id_col: str, vec_col: str,
@@ -409,11 +445,29 @@ def ivf_centroids(
     corpus: DataFrame, n_lists: int, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "emb",
     literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
+    driver_train_max_rows: int = IVFPQ_DRIVER_TRAIN_MAX_ROWS,
 ) -> DataFrame:
     """Deterministic coarse quantizer: seeds = vectors of the ``n_lists``
     lowest ids, then ``n_iter`` Lloyd steps (empty lists keep their old
-    centroid). Returns (list_id, centroid)."""
+    centroid). Returns (list_id, centroid).
+
+    Training frames within ``driver_train_max_rows`` (bounded limit-probe)
+    collect once and train driver-side (:func:`lloyd_np` — 2 jobs instead
+    of 1 + 2·n_iter collect-barrier jobs; the per-iteration job pair plus
+    plan re-codegen is the fixed cost that dominates Lloyd at bench
+    scale). Same algorithm, same per-dimension IEEE fold, same 9-dp
+    argmin tie-break; row-summation order of the per-list means is the
+    only freedom — not contractual in either engine nor in the DuckDB
+    oracle, which sums in its own order (pinned in
+    tests/test_lloyd_driver_path.py). 0 forces the distributed loop."""
     spark = corpus.sparkSession
+    rows = _bounded_train_rows(corpus, id_col, vec_col, driver_train_max_rows)
+    if rows is not None:
+        dim = len(rows[0][1])
+        cent = lloyd_np(rows, [(0, dim, n_lists)], n_iter)[0]
+        return spark.createDataFrame(
+            cent, "list_id long, centroid array<double>"
+        )
     # self-contained persist: materialized on the first loop action,
     # released before returning
     corpus = corpus.persist()
@@ -499,12 +553,16 @@ def ivf_ann_topk(
     id_col: str = "vec_id", vec_col: str = "emb",
     query_id_col: str = "query_id", query_vec_col: str = "qemb",
     literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
+    driver_train_max_rows: int = IVFPQ_DRIVER_TRAIN_MAX_ROWS,
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest lists, exact cosine inside them.
 
     At scale the corpus is written partitioned by list_id, so a probe reads
     n_probe/n_lists of the data — the candidate join is an equi-join on
-    list_id against a broadcast probe set.
+    list_id against a broadcast probe set. Training routes through the
+    driver-side Lloyd fast path when the corpus fits
+    ``driver_train_max_rows`` (see :func:`ivf_centroids`); the assign +
+    probe stages are distributed either way.
     """
     # persist spans training AND the final assign/verify pass — the cache is
     # left registered because the returned plan still reads it lazily (the
@@ -512,9 +570,14 @@ def ivf_ann_topk(
     # consuming). At real scale you'd train once and WRITE `assigned`
     # partitioned/bucketed by list_id instead of re-assigning per query.
     corpus = corpus.persist()
-    rows = _ivf_train(
-        corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
-    )
+    fast = _bounded_train_rows(corpus, id_col, vec_col, driver_train_max_rows)
+    if fast is not None:
+        dim = len(fast[0][1])
+        rows = lloyd_np(fast, [(0, dim, n_lists)], n_iter)[0]
+    else:
+        rows = _ivf_train(
+            corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
+        )
     assigned = ivf_assign(
         corpus, rows, id_col=id_col, vec_col=vec_col,
         literal_max_lists=literal_max_lists,
@@ -797,16 +860,26 @@ def write_ivf_index(
     n_lists: int = 16, n_iter: int = 2,
     id_col: str = "vec_id", vec_col: str = "emb",
     literal_max_lists: int = IVF_LITERAL_MAX_LISTS,
+    driver_train_max_rows: int = IVFPQ_DRIVER_TRAIN_MAX_ROWS,
 ) -> DataFrame:
     """Train + assign + write the corpus partitioned by list_id; returns
     the (list_id, centroid) table, which is also written to
-    ``{path}/_centroids``."""
+    ``{path}/_centroids``. Training routes through the driver-side Lloyd
+    fast path within ``driver_train_max_rows`` (see
+    :func:`ivf_centroids`)."""
     spark = corpus.sparkSession
     corpus = corpus.persist()
     try:
-        rows = _ivf_train(
-            corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
+        fast = _bounded_train_rows(
+            corpus, id_col, vec_col, driver_train_max_rows
         )
+        if fast is not None:
+            dim = len(fast[0][1])
+            rows = lloyd_np(fast, [(0, dim, n_lists)], n_iter)[0]
+        else:
+            rows = _ivf_train(
+                corpus, n_lists, n_iter, id_col, vec_col, literal_max_lists
+            )
         assigned = ivf_assign(
             corpus, rows, id_col=id_col, vec_col=vec_col,
             literal_max_lists=literal_max_lists,
@@ -944,6 +1017,10 @@ def _joint_lloyd(
     alone, so results are bit-identical to the per-spec loops an external
     oracle replays. Empty codes keep their previous codeword.
 
+    This is the DISTRIBUTED loop; :func:`pq_train` / :func:`ivfpq_train`
+    route bounded training frames to :func:`lloyd_np` instead and only
+    fall back here past ``driver_train_max_rows``.
+
     This is how the PQ subspaces train together (24 → 3 corpus scans,
     round 4) AND how :func:`ivfpq_train` gets its coarse quantizer nearly
     free: the full-width coarse spec rides the same scans as the M
@@ -1010,6 +1087,7 @@ def _joint_lloyd(
 def pq_train(
     corpus: DataFrame, n_sub: int, k_codes: int, sub_dim: int,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+    driver_train_max_rows: int = IVFPQ_DRIVER_TRAIN_MAX_ROWS,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train ``n_sub`` independent codebooks of ``k_codes`` codewords each
     over contiguous ``sub_dim``-wide slices. Deterministic: per subspace,
@@ -1019,14 +1097,20 @@ def pq_train(
     with the same CTE chain per subspace. Returns driver-side codebooks
     (M × K × sub_dim doubles — tiny). All ``n_sub`` codebooks train
     together in :func:`_joint_lloyd`'s shared jobs — measured 24 → 3
-    corpus scans vs the per-subspace loop."""
+    corpus scans vs the per-subspace loop. Bounded training frames
+    (``driver_train_max_rows``) train driver-side via :func:`lloyd_np`
+    instead (see :func:`ivf_centroids`)."""
     specs = [(s * sub_dim, sub_dim, k_codes) for s in range(n_sub)]
+    rows = _bounded_train_rows(corpus, id_col, vec_col, driver_train_max_rows)
+    if rows is not None:
+        return lloyd_np(rows, specs, n_iter)
     return _joint_lloyd(corpus, specs, n_iter, id_col, vec_col)
 
 
 def ivfpq_train(
     corpus: DataFrame, n_lists: int, n_sub: int, k_codes: int, sub_dim: int,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
+    driver_train_max_rows: int = IVFPQ_DRIVER_TRAIN_MAX_ROWS,
 ) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
     """Coarse IVF quantizer + all PQ codebooks from ONE joint Lloyd run.
 
@@ -1036,11 +1120,17 @@ def ivfpq_train(
     of IVF over plain PQ is extra per-row arithmetic inside jobs that
     already scan the corpus, not extra scans. Bit-identical to training
     the coarse book alone (:func:`_ivf_train` — pinned in tests/test_pq).
-    Returns ``(coarse_rows, pq_books)``."""
+    Returns ``(coarse_rows, pq_books)``. Bounded training frames
+    (``driver_train_max_rows``) train driver-side via :func:`lloyd_np`
+    instead (see :func:`ivf_centroids`)."""
     dim = n_sub * sub_dim
     specs = [(s * sub_dim, sub_dim, k_codes) for s in range(n_sub)]
     specs.append((0, dim, n_lists))
-    books = _joint_lloyd(corpus, specs, n_iter, id_col, vec_col)
+    rows = _bounded_train_rows(corpus, id_col, vec_col, driver_train_max_rows)
+    if rows is not None:
+        books = lloyd_np(rows, specs, n_iter)
+    else:
+        books = _joint_lloyd(corpus, specs, n_iter, id_col, vec_col)
     return books[-1], books[:-1]
 
 
@@ -1267,13 +1357,6 @@ def lloyd_np(
     ]
 
 
-#: ivfpq_train_np refuses to collect a training set above this many rows —
-#: the driver-side Lloyd is for bounded SAMPLES (the production norm);
-#: anything bigger should either be sampled first or use the distributed
-#: :func:`ivfpq_train`.
-IVFPQ_DRIVER_TRAIN_MAX_ROWS = 200_000
-
-
 def ivfpq_train_np(
     train: DataFrame, n_lists: int, n_sub: int, k_codes: int, sub_dim: int,
     n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "emb",
@@ -1297,10 +1380,13 @@ def ivfpq_train_np(
             "ivfpq_train_np: training set is empty — IVFADC needs at "
             "least one training vector to seed the coarse/PQ codebooks."
         )
+    # unordered collect + driver-side sort: same rows in the same final id
+    # order, without a global range-sort exchange (see _bounded_train_rows)
     rows = [
         (r[id_col], r[vec_col])
-        for r in train.select(id_col, vec_col).orderBy(id_col).collect()
+        for r in train.select(id_col, vec_col).collect()
     ]
+    rows.sort(key=lambda t: t[0])
     dim = n_sub * sub_dim
     specs = [(s * sub_dim, sub_dim, k_codes) for s in range(n_sub)]
     specs.append((0, dim, n_lists))
