@@ -761,6 +761,76 @@ _KGRAM = 8
 _WINNOW_W = 8
 
 
+def _winnow_kernel(d: DataFrame) -> DataFrame:
+    """Winnowing fingerprint stats in ONE Arrow-batched numpy/hashlib map
+    pass per doc (round-11, guide §2.4/§4.2): every doc's k-gram rows are
+    generated FROM that doc's row, so the old explode → Exchange(doc_id)
+    → Window(min) → distinct-agg chain shuffled ~len(text) rows per doc
+    only to reunite data that was never apart. The kernel computes the
+    same integers per doc — md5 is hashlib (byte-identical to Spark's),
+    ``conv(substring(md5, 1, 8), 16, 10)`` is the first 4 digest bytes
+    big-endian, the sliding min and distinct count/sum are exact int64
+    ops — so the output is bit-identical (all-integer; pinned against
+    the replaced expression chain in tests/test_winnow_kernel.py and by
+    the DuckDB oracle). CPU drops with the JVM md5-per-position
+    expression overhead gone (see OPTIMIZATION_r11.md); at scale the win
+    is structural: zero shuffle at any corpus size."""
+
+    def fn(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids: list[int] = []
+            nfs: list[int] = []
+            cks: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                nk = len(text) - (_KGRAM - 1)
+                if nk - (_WINNOW_W - 1) < 1:
+                    # no full winnow window -> the expression chain's
+                    # post-window filter dropped every row: no output
+                    continue
+                b = text.encode("utf-8")
+                if len(b) == len(text):  # pure ASCII: slice bytes
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(md5(b[i : i + _KGRAM]).digest()[:4], "big")
+                            for i in range(nk)
+                        ),
+                        dtype=np.int64, count=nk,
+                    )
+                else:  # substr() is by characters: slice the str
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(
+                                md5(text[i : i + _KGRAM].encode("utf-8")).digest()[:4],
+                                "big",
+                            )
+                            for i in range(nk)
+                        ),
+                        dtype=np.int64, count=nk,
+                    )
+                fps = np.unique(sliding_window_view(hs, _WINNOW_W).min(axis=1))
+                ids.append(int(doc_id))
+                nfs.append(len(fps))
+                cks.append(int(fps.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_fingerprints": pd.Series(nfs, dtype="int64"),
+                    "fp_checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, n_fingerprints long, fp_checksum long"
+    )
+
+
+
 @register(
     "t6_winnow_fingerprint",
     oracle=f"""
@@ -785,40 +855,10 @@ _WINNOW_W = 8
     """,
 )
 def t6_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = ensure_min_parallelism(
         load_tables(spark, sf_dir, "documents")["documents"]
     ).filter(F.length("text") >= _KGRAM)
-    kg = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (_KGRAM - 1))
-        ).alias("i"),
-        (F.length("text") - (_KGRAM - 1)).alias("nk"),
-        "text",
-    ).select(
-        "doc_id",
-        "i",
-        "nk",
-        F.conv(
-            F.substring(F.md5(F.expr(f"substr(text, i, {_KGRAM})")), 1, 8), 16, 10
-        ).cast("long").alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
-    )
-    return (
-        kg.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("i") <= F.col("nk") - (_WINNOW_W - 1))
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("fp").alias("n_fingerprints"),
-            F.sum_distinct(F.col("fp")).alias("fp_checksum"),
-        )
-    )
+    return _winnow_kernel(d)
 
 
 # ---------------------------------------------------------------------------
