@@ -1,11 +1,25 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Stdout contract (the driver tail-captures stdout and parses the LAST
-line; at 70+ entries the full per-query dict is ~2.7 KB — bigger than
-the capture window, which produced two rounds of "parsed": null):
-  line N-1: the FULL result JSON
+Stdout contract (the driver tail-captures stdout and parses the lines in
+the window; the recorded tails are exactly 2000 chars, so the window is
+somewhere in [2000, ~6200) bytes — at 162 entries the full per-query
+dict is ~6 KB and was truncated mid-dict two rounds running, which left
+the driver with totals and an empty per-query comparison, round-10
+verdict item #2):
+  line N-2: the FULL result JSON (for `bench.py > BENCH_LOCAL_r{NN}.json`
+            redirects — too big for the driver window, by design kept
+            FIRST so truncation eats it and not the lines below)
             {"metric": "...", "value": <total sec>, "unit": "sec",
-             "queries": {...}, "cpu_queries": {...}, "sf": 0.1}
+             "queries": {...}, "cpu_queries": {...},
+             "host_calibration_s": {...}, "sf": 0.1}
+  line N-1: a WALLS-ONLY top-K line sized to fit the worst-case 2000-byte
+            window together with the compact line: the most expensive
+            entries by wall (2-dp), greedily packed into ~1.8 KB — every
+            entry a regression could be localized in; "value" is still
+            the FULL-suite total
+            {"metric": "...", "value": <total>, "unit": "sec",
+             "queries": {top-K walls}, "queries_shown": K,
+             "queries_total": <n>, "sf": 0.1}
   line N:   a COMPACT summary, guaranteed to fit any tail window:
             {"metric": "...", "value": <total>, "unit": "sec",
              "n": <len(queries)>, "cpu_value": <total>, "sf": 0.1}
@@ -445,8 +459,49 @@ def main() -> None:
             "sf": sf,
         }
     )
+    # walls-only top-K line: the driver's per-query regression comparison
+    # needs per-entry walls to survive its tail window, and the recorded
+    # window is as small as 2000 bytes — 162 full names cannot fit, so
+    # pack the most expensive entries (where any regression worth
+    # localizing lives) greedily by wall desc into a fixed byte budget.
+    # 2000 (worst-case window) − len(compact ~160 B) − newlines − slack.
+    WALLS_LINE_BUDGET = 1800
+    walls_head = json.dumps(
+        {
+            "metric": metric,
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {},
+            "queries_shown": len(timings),  # max width placeholder
+            "queries_total": len(timings),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    top_walls: dict[str, float] = {}
+    used = len(walls_head)
+    for name_, wall_ in sorted(
+        timings.items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        ent = len(json.dumps({name_: round(wall_, 2)})) - 1  # {,} → ,
+        if used + ent > WALLS_LINE_BUDGET:
+            continue
+        top_walls[name_] = round(wall_, 2)
+        used += ent
+    walls_line = json.dumps(
+        {
+            "metric": metric,
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": top_walls,
+            "queries_shown": len(top_walls),
+            "queries_total": len(timings),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
     # the LAST stdout line is a compact summary that fits any tail-capture
-    # window (the full per-query line above it is ~2.7 KB at 70+ entries
+    # window (the full per-query line above it is ~6 KB at 162 entries
     # and was truncated mid-dict by the driver two rounds running)
     compact = json.dumps(
         {
@@ -469,6 +524,7 @@ def main() -> None:
         print(f"[bench] spark.stop() failed: {exc}", file=sys.stderr)
     sys.stdout.flush()
     print(full, flush=True)
+    print(walls_line, flush=True)
     print(compact, flush=True)
 
 

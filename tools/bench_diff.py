@@ -42,7 +42,30 @@ def load(
 ) -> tuple[dict[str, float], dict[str, float] | None, dict | None]:
     """Returns (wall, cpu-or-None, host_calibration-or-None)."""
     with open(path) as f:
-        art = json.load(f)
+        text = f.read()
+    try:
+        art = json.loads(text)
+    except json.JSONDecodeError:
+        # a redirect of bench.py's 3-line stdout (full / walls-only topK /
+        # compact): pick the line with the largest per-query dict — the
+        # FULL line when present, the walls line otherwise
+        best: dict | None = None
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            q = cand.get("queries") if isinstance(cand, dict) else None
+            if isinstance(q, dict) and (
+                best is None or len(q) > len(best.get("queries", {}))
+            ):
+                best = cand
+        if best is None:
+            raise SystemExit(f"{path}: no parseable bench JSON line")
+        art = best
     # the driver's BENCH_r{N}.json wraps bench.py's LAST stdout line under
     # "parsed" — which since the two-line contract is the COMPACT summary
     # (totals only, no per-query dict), so driver artifacts are not
