@@ -32,6 +32,7 @@ tools/wx_bench.py measures the crossover on the scaled weather dirs.
 from __future__ import annotations
 
 import datetime as dt
+import time
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -179,16 +180,33 @@ def _windowed_points_upper_bound(
     from concurrent.futures import ThreadPoolExecutor
 
     try:
-        workers = min(FOOTER_PROBE_WORKERS, len(sampled))
-        # one task per WORKER, not per file: a local footer read is
-        # ~0.04 ms, so per-file task scheduling would cost 10x the work
-        # itself; chunking keeps the pool useful where it matters (slow
-        # media, many files) without taxing the fast path
-        chunks = [sampled[i::workers] for i in range(workers)]
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            included = sum(
-                ex.map(lambda ch: sum(probe_one(p) for p in ch), chunks)
-            )
+        # Warm LOCAL footer reads are GIL-bound (the thrift parse holds
+        # the GIL; the read itself is a page-cache hit): measured 0.06 ms
+        # sequential vs 16x SLOWER under a 32-thread pool (1.14 s vs
+        # 0.07 s for 1200 footers — pure lock thrash). The pool only wins
+        # where a footer read is a real I/O wait (network FS, cold slow
+        # media). So time a small sequential sample first and use its
+        # per-footer latency to pick the execution mode; either mode
+        # computes the identical sum.
+        head = sampled[: min(16, len(sampled))]
+        t0 = time.monotonic()
+        included = sum(probe_one(p) for p in head)
+        head_s = time.monotonic() - t0
+        rest = sampled[len(head):]
+        if rest:
+            if head_s / len(head) < 0.002:  # fast media: stay sequential
+                included += sum(probe_one(p) for p in rest)
+            else:
+                workers = min(FOOTER_PROBE_WORKERS, len(rest))
+                # one task per WORKER, not per file: per-file task
+                # scheduling would cost more than the read itself
+                chunks = [rest[i::workers] for i in range(workers)]
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    included += sum(
+                        ex.map(
+                            lambda ch: sum(probe_one(p) for p in ch), chunks
+                        )
+                    )
     except Exception:
         return None
     if len(sampled) < n_files:
