@@ -123,3 +123,124 @@ def test_suggested_params_scale_with_corpus():
     l_big, pr_big = suggest_ivf_params(1_000_000)
     assert l_big == 1000 and pr_big == 125
     assert l_small < l_big
+
+
+# ---------------------------------------------------------------------------
+# semdedup_dropped_ids: the grouped numpy kernel must be BIT-IDENTICAL to
+# the block self-join + interpreted-fold expression chain it replaced
+# (round-11). The reference form below is that chain, verbatim.
+# ---------------------------------------------------------------------------
+def _dropped_ids_reference(rows, block_col, tau, newer=None):
+    from weather_data_pipeline_sv_spark.functions.rounding import rnd
+
+    withn = rows.withColumn("__nrm", sim.norm(F.col("emb")))
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+        block_col, F.col("__nrm").alias("__na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+        block_col, F.col("__nrm").alias("__nb"),
+    )
+    if newer is not None:
+        b = b.join(newer.select(F.col("vec_id").alias("id_b")), "id_b")
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            rnd(
+                sim.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= F.lit(tau)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+
+
+def _kernel_corpus(spark):
+    """Blocks with boundary pairs: duplicates (cos=1), near-tau pairs, a
+    zero vector, negatives, and a singleton block."""
+    import math
+
+    rows = []
+    # block 0: exact dup family + orthogonal + zero vector
+    rows += [
+        (0, [1.0, 2.0, 3.0, 4.0], 0),
+        (1, [1.0, 2.0, 3.0, 4.0], 0),     # dup of 0 -> dropped
+        (2, [2.0, 4.0, 6.0, 8.0], 0),     # colinear -> dropped
+        (3, [-4.0, 3.0, -2.0, 1.0], 0),
+        (4, [0.0, 0.0, 0.0, 0.0], 0),     # zero norm: never dropped
+    ]
+    # block 1: pair exactly AT the 6-dp tau boundary after rounding
+    t = math.acos(0.45)
+    rows += [
+        (10, [1.0, 0.0, 0.0, 0.0], 1),
+        (11, [math.cos(t), math.sin(t), 0.0, 0.0], 1),  # cos ~= 0.45
+        (12, [-1.0, -0.001, 0.0, 0.0], 1),              # cos ~= -1 vs 10
+    ]
+    # block 2: singleton
+    rows += [(20, [5.0, 5.0, 5.0, 5.0], 2)]
+    return spark.createDataFrame(
+        rows, "vec_id long, emb array<double>, list_id long"
+    )
+
+
+def test_semdedup_kernel_matches_expression_chain(spark):
+    rows = _kernel_corpus(spark)
+    got = sorted(
+        r["vec_id"]
+        for r in sim.semdedup_dropped_ids(rows, "list_id", tau=0.45).collect()
+    )
+    # the reference chain raises DIVIDE_BY_ZERO on the zero vector under
+    # ANSI (so real corpora provably contain none); compare on the
+    # nonzero rows — the zero vector eliminates nothing (cos is NaN/NULL
+    # on both sides) so the reference dropped set is unchanged by it
+    nz = rows.filter(F.col("vec_id") != 4)
+    want = sorted(
+        r["vec_id"]
+        for r in _dropped_ids_reference(nz, "list_id", 0.45).collect()
+    )
+    assert got == want
+    assert 1 in got and 2 in got and 4 not in got and 20 not in got
+
+
+def test_semdedup_kernel_matches_on_real_corpus(spark, corpus):
+    cent = sim.ivf_centroids(corpus.filter(F.col("vec_id") % 7 == 0), 8)
+    assigned = sim.ivf_assign(corpus, cent).cache()
+    got = sorted(
+        r["vec_id"]
+        for r in sim.semdedup_dropped_ids(
+            assigned, "list_id", tau=0.45
+        ).collect()
+    )
+    want = sorted(
+        r["vec_id"]
+        for r in _dropped_ids_reference(assigned, "list_id", 0.45).collect()
+    )
+    assert got == want and len(got) > 0
+    assigned.unpersist()
+
+
+def test_semdedup_kernel_new_col_restricts_candidates(spark):
+    rows = _kernel_corpus(spark)
+    # ids <= 2 are "stored": they eliminate but are never dropped
+    flagged = rows.withColumn("__new", F.col("vec_id") > 2)
+    got = sorted(
+        r["vec_id"]
+        for r in sim.semdedup_dropped_ids(
+            flagged, "list_id", tau=0.45, new_col="__new"
+        ).collect()
+    )
+    nz = rows.filter(F.col("vec_id") != 4)  # see boundary test: ANSI 0/0
+    newer = nz.filter(F.col("vec_id") > 2)
+    want = sorted(
+        r["vec_id"]
+        for r in _dropped_ids_reference(
+            nz, "list_id", 0.45, newer=newer
+        ).collect()
+    )
+    assert got == want
+    assert all(i > 2 for i in got)

@@ -802,35 +802,15 @@ def _greedy_drop(assigned: DataFrame, block_col: str, keep_cols: list[str]) -> D
     vector with a lower-id block-mate at cosine ≥ τ. One definition so a
     τ or tie-break change cannot silently diverge the two variants.
     ``assigned`` must carry (vec_id, emb, block_col [, keep_cols…]);
-    returns (vec_id, *keep_cols, kept). Per-row norms are hoisted below
-    the block self-join — one interpreted fold per candidate pair
-    instead of three, bit-identical (see cosine())."""
-    withn = assigned.withColumn(
-        "__nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    )
-    a = withn.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), block_col,
-        F.col("__nrm").alias("__na"),
-    )
-    b = withn.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), block_col,
-        F.col("__nrm").alias("__nb"),
-    )
-    dropped = (
-        a.join(b, block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            rnd(
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            )
-            >= F.lit(_SEM_TAU)
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+    returns (vec_id, *keep_cols, kept). The dropped-id set is computed by
+    ``similarity.semdedup_dropped_ids`` — a grouped numpy kernel with the
+    same per-dimension IEEE fold order and 6-dp rounding as the block
+    self-join + interpreted-fold form it replaced (bit-identical, pinned
+    in tests/test_similarity_operators.py): one exchange on the block key
+    instead of two plus sum(|block|^2) interpreted pair folds."""
+    dropped = sim.semdedup_dropped_ids(
+        assigned, block_col, tau=_SEM_TAU
+    ).withColumn("__dropped", F.lit(True))
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id", *keep_cols, F.col("__dropped").isNull().alias("kept")
     )

@@ -70,6 +70,7 @@ def process_vector_batch(
     vec_col: str = "emb",
     tau: float = TAU,
     broadcast_batch: bool = True,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """One incremental step. ``batch`` must carry (vec_id, emb) with ids
     strictly greater than everything in the store (arrival order = id
@@ -80,55 +81,90 @@ def process_vector_batch(
     Returns the delta in ``VECTORS_SCHEMA``: every batch vector with its
     list and ``kept`` flag (false = semantically duplicates a lower-id
     vector). Callers persist the delta (``VectorStore.append``) before
-    the next batch."""
+    the next batch.
+
+    ``use_kernel`` selects the grouped numpy kernel
+    (``similarity.semdedup_dropped_ids``) for the non-broadcast path;
+    ``False`` keeps the pure-JVM block self-join — identical results
+    either way (kernel bit-identity pinned in tests). The kernel wins
+    wherever per-pair work dominates (catalog pipe4 measured 0.59×);
+    the parquet-backed ``VectorStore`` lifecycle at bench scale is
+    fixed-cost-bound and measured FASTER on the JVM join (pipe5 20.1 vs
+    21–26 s wall, 62 vs 124–144 tree-cpu-s, alternating min-of-3 runs),
+    so the store passes ``False`` — flip it for stores whose lists hold
+    ≫10⁴ rows, where the kernel's ~40× per-pair advantage dominates the
+    per-stage Python machinery."""
     assigned = stage_cache(
         ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
     )
-    # per-row norms hoisted below the pair join (see similarity.norm):
-    # one interpreted fold per candidate pair instead of three,
-    # bit-identical to the cosine(emb_a, emb_b) form
-    newer = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"), "list_id",
-        norm(F.col(vec_col)).alias("__nb"),
-    )
-    older = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"), "list_id",
-        norm(F.col(vec_col)).alias("__na"),
-    )
-    if store_vectors is not None:
-        older = older.unionByName(
-            store_vectors.select(
-                F.col(id_col).alias("id_a"),
-                F.col(vec_col).alias("emb_a"),
-                "list_id",
-                norm(F.col(vec_col)).alias("__na"),
-            )
+    if (broadcast_batch and store_vectors is not None) or not use_kernel:
+        # batch side broadcast (default): a DAILY slice is bounded by
+        # construction, the store is not — broadcasting the batch keeps
+        # the store un-shuffled (map-side join over only the lists the
+        # batch touches). Callers whose "batches" GROW with the corpus
+        # must pass broadcast_batch=False: a growing broadcast is the j9
+        # bug class, and the shuffle_hash fallback keeps the plan
+        # size-independent. Per-row norms hoisted below the pair join
+        # (see similarity.norm): one interpreted fold per candidate
+        # pair, bit-identical to the cosine(emb_a, emb_b) form.
+        newer = assigned.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"),
+            "list_id", norm(F.col(vec_col)).alias("__nb"),
         )
-    # batch side broadcast (default): a DAILY slice is bounded by
-    # construction, the store is not — broadcasting the batch keeps the
-    # store un-shuffled (map-side join over only the lists the batch
-    # touches). Callers whose "batches" GROW with the corpus (e.g. the
-    # pipe4 catalog replay, which slices the whole corpus in 3) must pass
-    # broadcast_batch=False: a growing broadcast is the j9 bug class, and
-    # the shuffle_hash fallback keeps the plan size-independent.
-    newer_side = F.broadcast(newer) if broadcast_batch else newer.hint(
-        "shuffle_hash"
-    )
-    dropped = (
-        older.join(newer_side, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            rnd(
-                dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            )
-            >= F.lit(tau)
+        older = assigned.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"),
+            "list_id", norm(F.col(vec_col)).alias("__na"),
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+        if store_vectors is not None:
+            older = older.unionByName(
+                store_vectors.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("emb_a"),
+                    "list_id",
+                    norm(F.col(vec_col)).alias("__na"),
+                )
+            )
+        newer_side = F.broadcast(newer) if broadcast_batch else newer.hint(
+            "shuffle_hash"
+        )
+        dropped = (
+            older.join(newer_side, "list_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                rnd(
+                    dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                )
+                >= F.lit(tau)
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
+    else:
+        # Non-broadcast path with the grouped numpy kernel
+        # (similarity.semdedup_dropped_ids) in place of the shuffle_hash
+        # block self-join: one exchange on list_id instead of two, and no
+        # interpreted per-pair folds — bit-identical rule, same IEEE fold
+        # order, same 6-dp rounding (pinned in
+        # tests/test_similarity_operators.py / test_incremental_vectors).
+        from .similarity import semdedup_dropped_ids
+
+        rows = assigned.select(
+            id_col, vec_col, "list_id", F.lit(True).alias("__is_new")
+        )
+        if store_vectors is not None:
+            rows = rows.unionByName(
+                store_vectors.select(
+                    id_col, vec_col, "list_id",
+                    F.lit(False).alias("__is_new"),
+                )
+            )
+        dropped = semdedup_dropped_ids(
+            rows, "list_id", tau=tau, id_col=id_col, vec_col=vec_col,
+            new_col="__is_new",
+        ).withColumn("__dropped", F.lit(True))
     return assigned.join(dropped, id_col, "left").select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
@@ -282,6 +318,10 @@ class VectorStore:
             return None
         bid = batch_id if batch_id is not None else (applied or [-1])[-1] + 1
         store = None if not self._has_vectors() else self.vectors()
+        # store lifecycle default: the JVM join (see process_vector_batch's
+        # use_kernel note — measured faster for the parquet-backed store
+        # at bench scale; callers with ≫10⁴-row lists pass use_kernel=True)
+        kwargs.setdefault("use_kernel", False)
         delta = process_vector_batch(batch, self.centroids(), store, **kwargs)
         self.append(delta, batch_id=bid)
         final = os.path.join(self._vec_dir, f"batch_id={bid}")
@@ -340,7 +380,8 @@ class VectorStore:
         # rebuilt rows read the CURRENT directory lazily, so the staging
         # write below materializes them before anything is replaced
         rebuilt = process_vector_batch(
-            vecs, cent_rows, None, tau=tau, broadcast_batch=False
+            vecs, cent_rows, None, tau=tau, broadcast_batch=False,
+            use_kernel=False,  # store-lifecycle default, see process_and_append
         )
         staging = os.path.join(self.root, "_retraining")
         rebuilt.withColumn("batch_id", F.lit(0)).write.mode(

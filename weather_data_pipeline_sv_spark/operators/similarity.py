@@ -759,6 +759,91 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def semdedup_dropped_ids(
+    rows: DataFrame, block_col: str, tau: float = SEM_TAU,
+    id_col: str = "vec_id", vec_col: str = "emb",
+    new_col: str | None = None,
+) -> DataFrame:
+    """Dropped-id set of the one-shot SemDeDup greedy rule, computed by a
+    grouped Arrow/numpy kernel: within each ``block_col`` block, id j is
+    dropped iff some lower-id block-mate i sits at rnd6(cos(i, j)) >= tau.
+    When ``new_col`` names a boolean column, only rows where it is true
+    are drop CANDIDATES (the incremental append case: stored rows
+    eliminate newcomers but are never dropped themselves); every row still
+    eliminates.
+
+    Bit-identical to the block self-join + interpreted-fold form it
+    replaces (pinned in tests/test_similarity_operators.py): each pairwise
+    dot and both norms accumulate per-DIMENSION in the same left-to-right
+    IEEE order as ``dot``'s fold (the lsh_buckets /
+    cosine_near_dup_pairs_lsh kernel rule), the cosine divides by the same
+    sqrt(dot(v,v)) product, and the 6-dp comparison applies the same
+    biased rounding. Zero-norm rows: Spark's double 0/0 is NULL, numpy's
+    is NaN — both fail ``>= tau``, so neither form drops them.
+
+    Plan shape vs the join form: ONE exchange on block_col feeding the
+    kernel, instead of two exchanges of the same rows into a self-join
+    that materializes sum(|block|^2) pair rows each paying an interpreted
+    higher-order-function fold (~4 us/pair post norm-hoist; the kernel's
+    per-dim matrix accumulation measured ~0.1 us/pair). Memory is bounded:
+    the candidate axis is chunked so the distance block never exceeds
+    ~32M doubles however skewed a block is."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = rows.schema[id_col].dataType.simpleString()
+    cols = [id_col, vec_col] + ([new_col] if new_col else [])
+    out_schema = f"`{id_col}` {id_t}"
+    tau_f = float(tau)
+
+    def dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({id_col: pdf[id_col][:0]})
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        E = np.vstack(pdf[vec_col].to_numpy())[order].astype(
+            np.float64, copy=False
+        )
+        dim = E.shape[1]
+        # per-row norm: the same per-dimension fold as dot(v, v)
+        nsq = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            nsq += E[:, d] * E[:, d]
+        nrm = np.sqrt(nsq)
+        if new_col:
+            cand = np.flatnonzero(pdf[new_col].to_numpy()[order])
+            cand = cand[cand >= 1]
+        else:
+            cand = np.arange(1, n)
+        if cand.size == 0:
+            return empty
+        hit_ids = []
+        chunk = max(16, 33_554_432 // n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c0 in range(0, cand.size, chunk):
+                js = cand[c0 : c0 + chunk]
+                hi = int(js[-1])  # eliminators live at indices < js
+                acc = np.zeros((hi, js.size), dtype=np.float64)
+                Ej = E[js]
+                for d in range(dim):
+                    acc += E[:hi, d : d + 1] * Ej[:, d][None, :]
+                cos = acc / (nrm[:hi, None] * nrm[js][None, :])
+                r6 = np.floor(cos * 1e6 + 0.5 + 1e-6) / 1e6
+                mask = np.arange(hi)[:, None] < js[None, :]
+                d_j = ((r6 >= tau_f) & mask).any(axis=0)
+                hit_ids.append(ids[js[d_j]])
+        out = np.concatenate(hit_ids) if hit_ids else ids[:0]
+        return pd.DataFrame({id_col: out})
+
+    return (
+        rows.select(block_col, *cols)
+        .groupBy(block_col)
+        .applyInPandas(lambda pdf: dropped(pdf), out_schema)
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "emb",
 ) -> DataFrame:
