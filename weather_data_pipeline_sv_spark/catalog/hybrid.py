@@ -50,6 +50,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import stage_cache
 from ..functions.partitioning import ensure_min_parallelism
 from ..functions.rounding import rnd, rnd_sql
 from ..operators import similarity as sim
@@ -274,7 +275,15 @@ def _hybrid_inputs(spark: SparkSession, sf_dir: str) -> dict:
     query terms, universe embeddings, sampled train slice, query
     vectors. All entries MUST derive these identically — sharing one
     builder is what makes a served entry's hash match against the
-    in-memory entry's oracle a proof about the persistence layer alone."""
+    in-memory entry's oracle a proof about the persistence layer alone.
+
+    The two heads are stage_cache-pinned (round-11, guide §2.4): a served
+    entry runs MANY actions over these inputs (the three bm25-index
+    writes, the bucket collect, the train limit-probe + collect, the
+    encode write, the probe collect, the final fused action), and each
+    one otherwise re-runs the corpus tokenize + universe semi-join from
+    the scan. ``uni`` is projected to (doc_id, tokens) before the pin —
+    the only columns any consumer reads."""
     docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") > 0)
     emb = (
         ensure_min_parallelism(
@@ -285,8 +294,10 @@ def _hybrid_inputs(spark: SparkSession, sf_dir: str) -> dict:
             F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
         )
     )
-    uni = docs.join(
-        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+    uni = stage_cache(
+        docs.join(
+            emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+        ).select("doc_id", "tokens")
     )
     doc_terms = uni.select(
         "doc_id", F.explode("tokens").alias("term")
@@ -300,8 +311,10 @@ def _hybrid_inputs(spark: SparkSession, sf_dir: str) -> dict:
         .filter(F.col("term") != "")
         .distinct()
     )
-    emb_u = emb.join(
-        uni.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    emb_u = stage_cache(
+        emb.join(
+            uni.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+        )
     )
     m = max(1, _dense_count(emb_u) // _V16_TRAIN)
     train = emb_u.filter(F.col("vec_id") % m == 0)

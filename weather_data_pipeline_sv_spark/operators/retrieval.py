@@ -45,7 +45,9 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def term_stats(doc_terms: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def term_stats(
+    doc_terms: DataFrame, cache: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """From exploded (doc_id, term) rows build the three index tables:
 
     - ``tf``    (doc_id, term, tf, doc_len) — the postings,
@@ -55,10 +57,26 @@ def term_stats(doc_terms: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     ``doc_len`` is the term-occurrence count of the document (tokenizer
     tokens, not characters), derived from the same exploded pass so a
     single corpus scan feeds the whole index.
+
+    ``cache=True`` stage_cache-pins the two fan-out heads (``doc_len``:
+    the tf join + stats; the joined ``tf``: the postings and the df
+    aggregate) for callers that consume the tables in SEPARATE actions —
+    ``write_bm25_index``'s three writes would otherwise each re-run the
+    tokenize/explode upstream and its aggregates. Single-action callers
+    (t23's one plan tree) keep the default: Spark's ReusedExchange
+    already shares the tf exchange within one plan.
     """
     tf = doc_terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_len = doc_terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    if cache:
+        from ..functions.caching import stage_cache
+
+        doc_len = stage_cache(doc_len)
     tf = tf.join(doc_len, "doc_id")
+    if cache:
+        from ..functions.caching import stage_cache
+
+        tf = stage_cache(tf)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = doc_len.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -172,7 +190,7 @@ def write_bm25_index(
     layout parameter travel with the index instead of relying on two
     call sites agreeing.
     """
-    tf, df, stats = term_stats(doc_terms)
+    tf, df, stats = term_stats(doc_terms, cache=True)
     # co-locate each bucket before the partitioned write (the
     # write_ivfpq_index rule): otherwise every write task spans every
     # bucket directory and the file count is n_tasks × n_buckets — at
