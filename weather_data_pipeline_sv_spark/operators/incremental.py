@@ -143,13 +143,21 @@ def process_corpus_batch(
         uniq = uniq.join(
             store_docs.select("content_hash"), "content_hash", "left_anti"
         )
+    # fan-out head (guide §2.4): uniq feeds the shingle explode AND the
+    # meta/docs-delta branch — without the pin each consumer re-runs the
+    # quality regexes + the content-hash window over the slice (the same
+    # reasoning as the sh pin below, which this function already had)
+    uniq = stage_cache(uniq)
 
     # derived near-dup state for the batch's uniq docs. Uncapped shingles
     # (max_shingle_df needs corpus-global doc frequencies — not
     # incrementally computable without a store-wide rescan).
     sh = stage_cache(explode_shingles(uniq, "doc_id", text_col, SHINGLE_N))
     sig = minhash_signatures(sh, N_HASHES)
-    bands = _band_table(sig)
+    # bands feeds both sides of the within-batch self-join, the
+    # store-vs-batch join, and the persisted delta — pin it so the
+    # signature aggregation (16 min-aggs + band md5s) runs once per slice
+    bands = stage_cache(_band_table(sig))
     n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     meta = uniq.drop(text_col).join(n_sh, "doc_id", "left").fillna(0, ["n_sh"])
 
