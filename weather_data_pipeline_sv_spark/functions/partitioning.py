@@ -37,3 +37,21 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if n_parts < target:
         return df.repartition(target)
     return df
+
+
+def one_partition_df(spark, rows, schema: str) -> DataFrame:
+    """Tiny DRIVER-SIDE table (centroid sets, codebooks, probe batches,
+    1-row stats) as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` splits the list into
+    defaultParallelism pickled slices; every action then pays one Python
+    worker round trip per SLICE to unpickle — parallel that is ~0.35 s at
+    local[32], but the moment a consumer serializes it through one task
+    (the ``coalesce(1)`` single-file side-table writes, a broadcast
+    build) the 32 round trips run SEQUENTIALLY: measured 4–5 s per tiny
+    write vs 0.27 s for a 1-slice parallelize, steady state. A table
+    that is driver-resident by construction is one partition of data;
+    create it that way."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.caching import stage_cache
+from ..functions.partitioning import one_partition_df
 from ..functions.rounding import rnd
 from .similarity import SEM_TAU, dot, ivf_assign, ivf_centroids, norm
 
@@ -387,9 +388,9 @@ class VectorStore:
         rebuilt.withColumn("batch_id", F.lit(0)).write.mode(
             "overwrite"
         ).partitionBy("batch_id", "list_id").parquet(staging)
-        self.spark.createDataFrame(
-            cent_rows, "list_id long, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        one_partition_df(
+            self.spark, cent_rows, "list_id long, centroid array<double>"
+        ).write.mode("overwrite").parquet(
             os.path.join(staging, "_centroids")
         )
         from ..sources.writers import replace_dir

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import one_partition_df
 from ..functions.rounding import rnd
 from .aggstore import PartialAggStore
 
@@ -259,7 +260,8 @@ def probe_bm25_index(
             "re-write the index"
         )
     n_buckets = int(srow["n_buckets"])
-    stats = spark.createDataFrame(
+    stats = one_partition_df(
+        spark,
         [(int(srow["n_docs"]), float(srow["avgdl"] or 0.0))],
         "n_docs long, avgdl double",
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import one_partition_df
 from ..functions.rounding import rnd
 
 _TWO32 = 4294967296.0
@@ -123,8 +124,9 @@ def md5_hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
     want the matrix as data (tests, notebooks); the operators below inline
     the values as plan literals instead.
     """
-    return spark.createDataFrame(
-        [(hyperplane_values(n_planes, dim),)], "planes: array<array<double>>"
+    return one_partition_df(
+        spark,
+        [(hyperplane_values(n_planes, dim),)], "planes: array<array<double>>",
     )
 
 
@@ -349,7 +351,8 @@ def _cents_broadcast_df(spark: SparkSession, rows) -> DataFrame:
     literals. ``df.crossJoin(broadcast(...))`` against it is a map-side
     BroadcastNestedLoopJoin with a single build row, after which the same
     argmin/sort expressions as the literal path apply unchanged."""
-    return spark.createDataFrame(
+    return one_partition_df(
+        spark,
         [([(lid, vec) for lid, vec in rows],)],
         "__cents array<struct<list_id: long, centroid: array<double>>>",
     )
@@ -465,8 +468,8 @@ def ivf_centroids(
     if rows is not None:
         dim = len(rows[0][1])
         cent = lloyd_np(rows, [(0, dim, n_lists)], n_iter)[0]
-        return spark.createDataFrame(
-            cent, "list_id long, centroid array<double>"
+        return one_partition_df(
+            spark, cent, "list_id long, centroid array<double>"
         )
     # self-contained persist: materialized on the first loop action,
     # released before returning
@@ -477,7 +480,7 @@ def ivf_centroids(
         )
     finally:
         corpus.unpersist()
-    return spark.createDataFrame(cent, "list_id long, centroid array<double>")
+    return one_partition_df(spark, cent, "list_id long, centroid array<double>")
 
 
 def ivf_assign(
@@ -972,10 +975,10 @@ def write_ivf_index(
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
     finally:
         corpus.unpersist()
-    cents = spark.createDataFrame(
-        rows, "list_id long, centroid array<double>"
+    cents = one_partition_df(
+        spark, rows, "list_id long, centroid array<double>"
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
     return cents
 
 
@@ -1598,7 +1601,7 @@ def _ivfpq_probes(
             lid = int(lids[j])
             probed.add(lid)
             rows.append((q[query_id_col], lid, dt))
-    probes = spark.createDataFrame(rows, schema)
+    probes = one_partition_df(spark, rows, schema)
     return probes, sorted(probed), k_codes
 
 
@@ -1704,13 +1707,14 @@ def write_ivfpq_index(
     enc.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(path)
-    spark.createDataFrame(
-        coarse, "list_id long, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
-    spark.createDataFrame(
+    one_partition_df(
+        spark, coarse, "list_id long, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/_centroids")
+    one_partition_df(
+        spark,
         [(s, lid, cw) for s, book in enumerate(books) for lid, cw in book],
         "s int, list_id long, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/_codebooks")
     return coarse, books
 
 
